@@ -1,0 +1,69 @@
+"""satellite_approximation_tpu — TPU-native (JAX/XLA/Pallas) framework for
+finding and filling missing data in optical satellite imagery.
+
+A ground-up, TPU-first rebuild of the capabilities of the
+``ebiederstadt/satellite-approximation`` C++/OpenCL reference:
+
+* ``models.laplace`` / ``models.poisson`` — Laplace/Poisson inpainting as
+  matrix-free masked stencil solves (CG + multigrid) instead of Eigen sparse
+  assembly (reference: lib/approx/source/{laplace,poisson}.cpp).
+* ``models.detection`` — Sentinel-2 cloud & cloud-shadow detection via
+  ray casting with probability-analysis refinement, fully vectorized
+  (reference: lib/cloud_shadow_detection/).
+* ``ops`` — jittable raster primitives (separable Gaussian blur, morphology,
+  pit-fill fixpoint, connected components, histograms) replacing the
+  reference's OpenCL kernels and OpenCV calls.
+* ``parallel`` — multi-chip spatial sharding over ``jax.sharding.Mesh`` with
+  halo exchange (the reference is single-device; this is new capability).
+* ``utils`` — GeoTIFF IO with template-copy semantics, SQLite status DB,
+  date/folder conventions, logging (reference: lib/utils/).
+
+Public API mirrors the reference's pybind11 surface (reference src/main.cpp:16-59).
+"""
+
+from .utils.log import LogLevel, set_log_level, log_location
+from .models.laplace import (
+    filling_missing_portions_smooth_boundaries,
+    fill_missing_portion_smooth_boundary,
+    apply_laplace,
+)
+from .models.poisson import blend_images_poisson, highlight_area_replaced, PerfInfo
+from .models.closest import find_good_close_image
+from .models.detection.pipeline import (
+    CloudParams,
+    SkipShadowDetection,
+    Status,
+    detect,
+    detect_clouds,
+    detect_single_folder,
+    detect_in_folder,
+    get_diagonal_distance,
+)
+from .indices import Indices, required_files, missing_files, compute_index
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LogLevel",
+    "set_log_level",
+    "log_location",
+    "filling_missing_portions_smooth_boundaries",
+    "fill_missing_portion_smooth_boundary",
+    "apply_laplace",
+    "blend_images_poisson",
+    "highlight_area_replaced",
+    "PerfInfo",
+    "find_good_close_image",
+    "CloudParams",
+    "SkipShadowDetection",
+    "Status",
+    "detect",
+    "detect_clouds",
+    "detect_single_folder",
+    "detect_in_folder",
+    "get_diagonal_distance",
+    "Indices",
+    "required_files",
+    "missing_files",
+    "compute_index",
+]

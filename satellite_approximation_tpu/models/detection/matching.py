@@ -1,0 +1,353 @@
+"""Cloud-shadow matching by ray casting — the pipeline's hot loop.
+
+Rebuild of lib/cloud_shadow_detection/source/CloudShadowMatching.cpp. The
+reference triple-nests: per cloud, per hypothesis height (0.2..12 km in
+0.025 steps → 473 candidates, CloudShadowMatching.cpp:139), per pixel of the
+projected bbox — all single-threaded CPU. Here:
+
+* the projective geometry (two perspectives + affine quad fit + inverse) is
+  batched over (cloud × height) in one f64 einsum on the host — thousands of
+  4x4 ops, microseconds;
+* the per-pixel similarity scan becomes a device kernel over a statically
+  sized window (dynamic_slice anchored at the projected bbox, masked to its
+  true extent), scanned over heights with clouds vmapped — no host
+  round-trips inside the sweep;
+* clouds are bucketed by window size so each bucket compiles once.
+
+Semantics match the reference pixel-for-pixel: candidate pixels are
+non-cloud pixels inside the projected-quad bbox whose inverse-mapped
+position (trunc-toward-zero, like glm's float→ivec2) lands on the cloud's
+own id; similarity = |candidates ∩ potential-shadow| / |candidates|, with
+<5-pixel support rejected (CloudShadowMatching.cpp:70-95) and a 0.3
+similarity floor (CloudShadowMatching.cpp:154).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import MatchingConfig
+from ...ops import geometry
+from ...ops.stats import trimmed_average
+from .cloud_mask import CloudObject
+
+_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def height_sweep(config: MatchingConfig) -> np.ndarray:
+    """The f32-accumulated height ladder, replicating the reference's
+    ``for (z = .2f; z <= 12.f; z += .025f)`` float loop exactly
+    (CloudShadowMatching.cpp:139)."""
+    out = []
+    z = np.float32(config.height_min_km)
+    step = np.float32(config.height_step_km)
+    while z <= np.float32(config.height_max_km):
+        out.append(float(z))
+        z = np.float32(z + step)
+    return np.asarray(out, dtype=np.float64)
+
+
+@dataclasses.dataclass
+class OptimalSolution:
+    """Best match per cloud (CloudShadowMatching.h OptimalSolution)."""
+
+    height: float
+    similarity: float
+    M: np.ndarray  # 4x4 world→world shadow-cast transform
+    id: int
+
+
+@dataclasses.dataclass
+class ShadowObject:
+    """Matched shadow pixels of one cloud, stored as a window + anchor
+    instead of the reference's pixel list (types.h Pixels)."""
+
+    id: int
+    # bbox of hit pixels in (x, y-from-bottom) coordinates; None if no match
+    bounds: tuple[int, int, int, int] | None
+    area: int
+    # bool window; window[v, u] covers pixel (anchor_x + u, anchor_y + v)
+    window: np.ndarray | None
+    anchor: tuple[int, int] | None
+
+
+@dataclasses.dataclass
+class MatchCloudsShadowsResults:
+    solutions: dict[int, OptimalSolution]
+    shadows: dict[int, ShadowObject]
+    trimmed_mean_height: float
+    shadow_mask: np.ndarray  # (H, W) bool, top-left convention
+
+
+def _cast_transforms(
+    clouds: list[CloudObject],
+    heights: np.ndarray,
+    shape_hw: tuple[int, int],
+    diagonal: float,
+    sun_pos: np.ndarray,
+    view_pos: np.ndarray,
+):
+    """Batched geometry for all (cloud, height) pairs.
+
+    Returns A2 (Nc,Nh,2,2), delta (Nc,Nh,2), window bounds (Nc,Nh,4) and the
+    full M (Nc,Nh,4,4) — the vectorization of __MatchCloudShadow__'s
+    per-height perspective/affineTransform block (CloudShadowMatching.cpp:139-143).
+    """
+    h, w = shape_hw
+    corners = np.stack([c.quad.corners() for c in clouds])  # (Nc,4,3)
+    nh = len(heights)
+    c = corners[:, None, :, :]  # (Nc,1,4,3)
+    z = heights[None, :, None]  # (1,Nh,1)
+
+    # perspective through the height plane toward the satellite
+    d1 = view_pos[None, None, None, :] - c
+    t1 = (z[..., None] * np.ones_like(c[..., :1]) - c[..., 2:3]) / d1[..., 2:3]
+    p1 = c + d1 * t1
+    # then through the ground plane toward the sun
+    d2 = sun_pos[None, None, None, :] - p1
+    t2 = -p1[..., 2:3] / d2[..., 2:3]
+    p2 = p1 + d2 * t2  # (Nc,Nh,4,3)
+
+    ones = np.ones((*p2.shape[:-1], 1))
+    x2 = np.concatenate([p2, ones], axis=-1)  # rows are corners
+    x2 = np.swapaxes(x2, -1, -2)  # corners as columns (4,4)
+    x1 = np.concatenate([corners, np.ones((corners.shape[0], 4, 1))], axis=-1)
+    x1 = np.swapaxes(x1, -1, -2)
+    x1inv = np.linalg.inv(x1)  # (Nc,4,4)
+    m = np.einsum("cnij,cjk->cnik", x2, x1inv)
+    m[..., 2, 2] = 1.0  # make invertible (CloudShadowMatching.cpp:144)
+    minv = np.linalg.inv(m)
+
+    ratio_r = np.sqrt(float(w) * w + float(h) * h) / diagonal
+    a2 = minv[..., :2, :2]
+    delta = np.einsum(
+        "cnij,j->cni", minv, np.array([0.5, 0.5, 0.0, ratio_r])
+    )[..., :2]
+
+    # projected-quad window bounds (CloudShadowMatching.cpp:33-55)
+    hom = np.concatenate([corners, np.ones((corners.shape[0], 4, 1))], axis=-1)
+    cast = np.einsum("cnij,ckj->cnki", m, hom)[..., :3]  # (Nc,Nh,4,3)
+    idx = geometry.world_to_index(shape_hw, diagonal, cast)  # (Nc,Nh,4,2)
+    min_x = np.clip(idx[..., 0].min(axis=-1), 0, w - 1)
+    max_x = np.clip(idx[..., 0].max(axis=-1), 0, w - 1)
+    min_y = np.clip(idx[..., 1].min(axis=-1), 0, h - 1)
+    max_y = np.clip(idx[..., 1].max(axis=-1), 0, h - 1)
+    return a2, delta, (min_x, max_x, min_y, max_y), m
+
+
+@functools.partial(jax.jit, static_argnames=("wb", "hb", "width", "height"))
+def _bucket_sweep(
+    cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
+    wb: int, hb: int, width: int, height: int,
+):
+    """Similarity of every (height, cloud) pair in one bucket.
+
+    Scans the height axis sequentially (bounded memory) with all clouds of
+    the bucket evaluated together; each step is one fused window pass.
+    """
+    u = jnp.arange(wb, dtype=jnp.int32)[None, :]
+    v = jnp.arange(hb, dtype=jnp.int32)[:, None]
+
+    def one_cloud(cid, mnx, mny, mxx, mxy, a2c, dc):
+        cm = lax.dynamic_slice(cmask_f, (mny, mnx), (hb, wb))
+        ps = lax.dynamic_slice(psm_f, (mny, mnx), (hb, wb))
+        px = mnx + u
+        py = mny + v
+        in_win = (px <= mxx) & (py <= mxy)
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+        qx = a2c[0, 0] * fx + a2c[0, 1] * fy + dc[0]
+        qy = a2c[1, 0] * fx + a2c[1, 1] * fy + dc[1]
+        qi = qx.astype(jnp.int32)  # trunc toward zero, like glm ivec2
+        qj = qy.astype(jnp.int32)
+        validq = (qi >= 0) & (qi < width) & (qj >= 0) & (qj < height)
+        at_cloud = cmap_f[jnp.clip(qj, 0, height - 1), jnp.clip(qi, 0, width - 1)]
+        cand = in_win & (~cm) & validq & (at_cloud == cid)
+        hit = cand & ps
+        return jnp.sum(cand, dtype=jnp.int32), jnp.sum(hit, dtype=jnp.int32)
+
+    def step(_, args):
+        mnx, mny, mxx, mxy, a2h, dh = args
+        t, c = jax.vmap(one_cloud)(ids, mnx, mny, mxx, mxy, a2h, dh)
+        sim = jnp.where(
+            t >= 5, c.astype(jnp.float32) / t.astype(jnp.float32), jnp.float32(-1.1)
+        )
+        return None, sim
+
+    # height-major scan: args arrays are (Nh, Nc, ...)
+    _, sims = lax.scan(step, None, (min_x, min_y, max_x, max_y, a2, delta))
+    return sims  # (Nh, Nc)
+
+
+@functools.partial(jax.jit, static_argnames=("wb", "hb", "width", "height"))
+def _bucket_detail(
+    cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
+    wb: int, hb: int, width: int, height: int,
+):
+    """Hit windows + hit-pixel bounds at each cloud's best height."""
+    u = jnp.arange(wb, dtype=jnp.int32)[None, :]
+    v = jnp.arange(hb, dtype=jnp.int32)[:, None]
+    big = jnp.int32(2**30)
+
+    def one_cloud(cid, mnx, mny, mxx, mxy, a2c, dc):
+        cm = lax.dynamic_slice(cmask_f, (mny, mnx), (hb, wb))
+        ps = lax.dynamic_slice(psm_f, (mny, mnx), (hb, wb))
+        px = mnx + u
+        py = mny + v
+        in_win = (px <= mxx) & (py <= mxy)
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+        qx = a2c[0, 0] * fx + a2c[0, 1] * fy + dc[0]
+        qy = a2c[1, 0] * fx + a2c[1, 1] * fy + dc[1]
+        qi = qx.astype(jnp.int32)
+        qj = qy.astype(jnp.int32)
+        validq = (qi >= 0) & (qi < width) & (qj >= 0) & (qj < height)
+        at_cloud = cmap_f[jnp.clip(qj, 0, height - 1), jnp.clip(qi, 0, width - 1)]
+        cand = in_win & (~cm) & validq & (at_cloud == cid)
+        hit = cand & ps
+        t = jnp.sum(cand, dtype=jnp.int32)
+        c = jnp.sum(hit, dtype=jnp.int32)
+        bx0 = jnp.min(jnp.where(hit, px, big))
+        by0 = jnp.min(jnp.where(hit, py, big))
+        bx1 = jnp.max(jnp.where(hit, px, -big))
+        by1 = jnp.max(jnp.where(hit, py, -big))
+        return t, c, hit, bx0, by0, bx1, by1
+
+    return jax.vmap(one_cloud)(ids, min_x, min_y, max_x, max_y, a2, delta)
+
+
+def _bucket_size(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+def match_clouds_shadows(
+    clouds: list[CloudObject],
+    cloud_map: np.ndarray,
+    cloud_mask: np.ndarray,
+    potential_shadow: np.ndarray,
+    diagonal: float,
+    sun_pos: np.ndarray,
+    view_pos: np.ndarray,
+    config: MatchingConfig = MatchingConfig(),
+) -> MatchCloudsShadowsResults:
+    """Match every cloud to its shadow (CloudShadowMatching.cpp:168-197)."""
+    hgt, wdt = cloud_mask.shape
+    heights = height_sweep(config)
+    nh = len(heights)
+
+    shadow_mask_flipped = np.zeros((hgt, wdt), dtype=bool)
+    solutions: dict[int, OptimalSolution] = {}
+    shadows: dict[int, ShadowObject] = {}
+
+    if clouds:
+        a2, delta, (mnx, mxx, mny, mxy), m_all = _cast_transforms(
+            clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
+        )
+
+        # flipped (bottom-origin-row) arrays, padded so dynamic_slice never clamps
+        ext_x = (mxx - mnx + 1).max(axis=1)  # (Nc,)
+        ext_y = (mxy - mny + 1).max(axis=1)
+        pad_w = int(min(_bucket_size(int(ext_x.max())), _BUCKETS[-1]))
+        pad_h = int(min(_bucket_size(int(ext_y.max())), _BUCKETS[-1]))
+        cmask_f = np.flipud(np.asarray(cloud_mask, bool))
+        psm_f = np.flipud(np.asarray(potential_shadow, bool))
+        cmap_f = np.flipud(np.asarray(cloud_map, np.int32))
+        cmask_f = np.pad(cmask_f, ((0, pad_h), (0, pad_w)))
+        psm_f = np.pad(psm_f, ((0, pad_h), (0, pad_w)))
+        cmap_f = np.pad(cmap_f, ((0, pad_h), (0, pad_w)), constant_values=-2)
+        cmask_j = jnp.asarray(cmask_f)
+        psm_j = jnp.asarray(psm_f)
+        cmap_j = jnp.asarray(cmap_f)
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for k in range(len(clouds)):
+            key = (_bucket_size(int(ext_x[k])), _bucket_size(int(ext_y[k])))
+            buckets.setdefault(key, []).append(k)
+
+        heights_f32 = height_sweep(config)
+        for (wb, hb), members in buckets.items():
+            sel = np.asarray(members)
+            ids = jnp.asarray([clouds[k].id for k in sel], jnp.int32)
+            args = dict(
+                min_x=jnp.asarray(mnx[sel].T, jnp.int32),
+                min_y=jnp.asarray(mny[sel].T, jnp.int32),
+                max_x=jnp.asarray(mxx[sel].T, jnp.int32),
+                max_y=jnp.asarray(mxy[sel].T, jnp.int32),
+                a2=jnp.asarray(np.swapaxes(a2[sel], 0, 1), jnp.float32),
+                delta=jnp.asarray(np.swapaxes(delta[sel], 0, 1), jnp.float32),
+            )
+            sims = np.asarray(
+                _bucket_sweep(
+                    cmask_j, psm_j, cmap_j, ids, **args,
+                    wb=wb, hb=hb, width=wdt, height=hgt,
+                )
+            )  # (Nh, Nsel)
+            best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
+            best_sim = sims[best_idx, np.arange(len(sel))]
+
+            detail = _bucket_detail(
+                cmask_j, psm_j, cmap_j, ids,
+                min_x=jnp.asarray(mnx[sel, best_idx], jnp.int32),
+                min_y=jnp.asarray(mny[sel, best_idx], jnp.int32),
+                max_x=jnp.asarray(mxx[sel, best_idx], jnp.int32),
+                max_y=jnp.asarray(mxy[sel, best_idx], jnp.int32),
+                a2=jnp.asarray(a2[sel, best_idx], jnp.float32),
+                delta=jnp.asarray(delta[sel, best_idx], jnp.float32),
+                wb=wb, hb=hb, width=wdt, height=hgt,
+            )
+            t_arr, c_arr, hits, bx0, by0, bx1, by1 = (np.asarray(d) for d in detail)
+
+            for n, k in enumerate(sel):
+                cid = clouds[k].id
+                if best_sim[n] < config.min_similarity:
+                    solutions[cid] = OptimalSolution(
+                        height=0.0, similarity=-1.0, M=np.eye(4), id=cid
+                    )
+                    shadows[cid] = ShadowObject(
+                        id=cid, bounds=None, area=0, window=None, anchor=None
+                    )
+                    continue
+                hsel = int(best_idx[n])
+                solutions[cid] = OptimalSolution(
+                    height=float(heights_f32[hsel]),
+                    similarity=float(best_sim[n]),
+                    M=m_all[k, hsel],
+                    id=cid,
+                )
+                anchor = (int(mnx[k, hsel]), int(mny[k, hsel]))
+                win = hits[n]
+                shadows[cid] = ShadowObject(
+                    id=cid,
+                    bounds=(int(bx0[n]), int(by0[n]), int(bx1[n]), int(by1[n])),
+                    area=int(c_arr[n]),
+                    window=win,
+                    anchor=anchor,
+                )
+                # composite into the object-based shadow mask
+                ax, ay = anchor
+                h_keep = min(hb, hgt - ay)
+                w_keep = min(wb, wdt - ax)
+                shadow_mask_flipped[ay : ay + h_keep, ax : ax + w_keep] |= win[
+                    :h_keep, :w_keep
+                ]
+
+    accepted_heights = [
+        s.height for s in solutions.values() if s.height >= config.height_min_km
+    ]
+    trimmed = trimmed_average(np.asarray(accepted_heights), config.trim_lo, config.trim_hi)
+
+    return MatchCloudsShadowsResults(
+        solutions=solutions,
+        shadows=shadows,
+        trimmed_mean_height=trimmed,
+        shadow_mask=np.flipud(shadow_mask_flipped).copy(),
+    )

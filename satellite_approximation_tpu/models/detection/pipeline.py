@@ -1,0 +1,339 @@
+"""The full detection pipeline: detect / detect_clouds / detect_in_folder.
+
+Rebuild of lib/cloud_shadow_detection/source/automatic_detection.cpp. Where
+the reference lazily spins up an OpenCL context and compiles kernels
+(automatic_detection.cpp:87-89), the TPU path needs no explicit device
+management — XLA owns placement and compilation caching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from ...config import DetectionConfig, DEFAULT_DETECTION
+from ...ops import geometry
+from ...utils.dates import Date
+from ...utils.db import DataBase
+from ...utils.filesystem import multispectral_folders
+from ...utils.geotiff import GeoTIFF, write_geotiff
+from ...utils.log import create_logger
+from ...utils.perf import Stopwatch
+from ...utils.types import percent_non_zero
+from . import cloud_mask as cm
+from . import shadow_mask as sm
+from . import matching, refinement
+
+_logger = create_logger("detection.pipeline")
+
+
+@dataclasses.dataclass
+class CloudParams:
+    """Input/output path conventions for one date folder
+    (automatic_detection.cpp:40-71)."""
+
+    nir_path: Path = Path()
+    clp_path: Path = Path()
+    cld_path: Path = Path()
+    scl_path: Path = Path()
+    rgb_path: Path = Path()
+    view_zenith_path: Path = Path()
+    view_azimuth_path: Path = Path()
+    sun_zenith_path: Path = Path()
+    sun_azimuth_path: Path = Path()
+
+    @classmethod
+    def from_root(cls, root: Path | str) -> "CloudParams":
+        root = Path(root)
+        return cls(
+            nir_path=root / "B08.tif",
+            clp_path=root / "CLP.tif",
+            cld_path=root / "CLD.tif",
+            scl_path=root / "SCL.tif",
+            rgb_path=root / "RGB.tif",
+            view_zenith_path=root / "viewZenithMean.tif",
+            view_azimuth_path=root / "viewAzimuthMean.tif",
+            sun_zenith_path=root / "sunZenithAngles.tif",
+            sun_azimuth_path=root / "sunAzimuthAngles.tif",
+        )
+
+    def cloud_path(self) -> Path:
+        return self.nir_path.parent / "cloud_mask.tif"
+
+    def shadow_potential_path(self) -> Path:
+        return self.nir_path.parent / "potential_shadows.tif"
+
+    def object_based_shadow_path(self) -> Path:
+        return self.nir_path.parent / "object_based_shadows.tif"
+
+    def shadow_path(self) -> Path:
+        return self.nir_path.parent / "shadow_mask.tif"
+
+
+@dataclasses.dataclass
+class SkipShadowDetection:
+    """Skip the slow shadow stage when cloud cover is above ``threshold``
+    (automatic_detection.h SkipShadowDetection)."""
+
+    decision: bool = False
+    threshold: float = 0.0
+
+    def __repr__(self) -> str:
+        return f"<SkipShadowDetection: {self.decision} (threshold: {self.threshold})>"
+
+
+@dataclasses.dataclass
+class Status:
+    """Per-date detection result persisted to the DB
+    (cloud_shadow_detection/db.h Status)."""
+
+    percent_clouds: float = 0.0
+    percent_shadows: float | None = None
+    percent_invalid: float = 0.0
+    clouds_computed: bool = False
+    shadows_computed: bool = False
+
+
+def get_diagonal_distance(
+    min_long: float, min_lat: float, max_long: float, max_lat: float
+) -> float:
+    """Geodetic diagonal of the scene bbox in km (automatic_detection.cpp:73-78)."""
+    return geometry.haversine_distance((min_long, min_lat), (max_long, max_lat))
+
+
+def _read_normalized_u8(path: Path, max_value: float) -> np.ndarray:
+    return GeoTIFF.open(path).read().astype(np.float32) / np.float32(max_value)
+
+
+def _read_angles(path: Path, what: str) -> np.ndarray:
+    try:
+        return GeoTIFF.open(path).read().astype(np.float64)
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(f"Failed to open {what} file. Provided path: {path}") from e
+
+
+def _write_mask(mask: np.ndarray, out_path: Path, template: Path) -> None:
+    write_geotiff(mask.astype(np.uint8), out_path, template_path=template)
+
+
+def detect(
+    params: CloudParams,
+    diagonal_distance: float,
+    skip_shadow_detection: SkipShadowDetection = SkipShadowDetection(),
+    use_cache: bool = True,
+    config: DetectionConfig = DEFAULT_DETECTION,
+) -> Status | None:
+    """Run the full cloud + shadow detection for one date folder
+    (automatic_detection.cpp:80-236). Returns None when cached outputs exist.
+    """
+    if use_cache and params.cloud_path().exists() and params.shadow_path().exists():
+        _logger.debug(
+            "Skipping %s because both the clouds and the shadows have been computed",
+            params.cloud_path().parent,
+        )
+        return None
+
+    status = Status()
+
+    clp = _read_normalized_u8(params.clp_path, 255)
+    cld = _read_normalized_u8(params.cld_path, 100)
+    scl = GeoTIFF.open(params.scl_path).read()
+    nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max)
+    shape = clp.shape
+
+    _logger.debug(" --- Cloud Detection...")
+    generated = cm.generate_cloud_mask_ignore_low_probability(
+        clp, cld, scl, config.cloud_mask
+    )
+    status.clouds_computed = True
+    status.percent_clouds = percent_non_zero(generated.cloud_mask)
+    status.percent_invalid = status.percent_clouds
+    _write_mask(generated.cloud_mask, params.cloud_path(), params.nir_path)
+
+    if skip_shadow_detection.decision:
+        if status.percent_clouds >= skip_shadow_detection.threshold:
+            _logger.debug(
+                "Skipping %s because too much of the image is clouds (%.2f%% clouds)",
+                params.cloud_path().parent,
+                status.percent_clouds * 100,
+            )
+            return status
+
+    _logger.debug(" --- Cloud Partitioning...")
+    cloud_map, clouds = cm.partition_cloud_mask(
+        generated.cloud_mask_no_processing,
+        diagonal_distance,
+        config.min_cloud_size_for_ray_casting,
+    )
+
+    _logger.debug(" --- Potential Shadow Mask Generation...")
+    psm = sm.generate_potential_shadow_mask(
+        nir, generated.cloud_mask_no_processing, scl, config.shadow_mask
+    )
+
+    sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith")
+    sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth")
+    view_zenith = _read_angles(params.view_zenith_path, "View Zenith")
+    view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth")
+
+    _logger.debug(" --- Solving for Sun and Satellite Position...")
+    sun_grid = geometry.vector_grid(np.radians(sun_zenith), np.radians(sun_azimuth))
+    view_grid = geometry.vector_grid(np.radians(view_zenith), np.radians(view_azimuth))
+    sun_pos = geometry.ls_point_equal_to(
+        sun_grid, shape, diagonal_distance, config.distance_to_sun_km
+    )
+    view_pos = geometry.ls_point_equal_to(
+        view_grid, shape, diagonal_distance, config.distance_to_view_km
+    )
+
+    _logger.debug(" --- Object-based Shadow Mask Generation...")
+    match = matching.match_clouds_shadows(
+        clouds,
+        cloud_map,
+        generated.cloud_mask_no_processing,
+        psm.mask,
+        diagonal_distance,
+        sun_pos,
+        view_pos,
+        config.matching,
+    )
+
+    _logger.debug(" --- Generating Probability Function...")
+    alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
+    beta = refinement.beta_map(
+        match.shadows,
+        match.solutions,
+        generated.blended_cloud_probability,
+        diagonal_distance,
+        config.refinement,
+    )
+    surface = refinement.probability_map(
+        match.shadow_mask, alpha, beta, config.refinement
+    )
+
+    _logger.debug(" --- Final Shadow Mask Generation...")
+    final = refinement.improved_shadow_mask(
+        match.shadow_mask,
+        generated.cloud_mask,
+        alpha,
+        beta,
+        surface,
+        config.probability_threshold,
+    )
+    _logger.debug("...Finished Algorithm.")
+
+    status.shadows_computed = True
+    status.percent_shadows = percent_non_zero(final)
+    total_mask = generated.cloud_mask | final
+    status.percent_invalid = percent_non_zero(total_mask)
+
+    _logger.debug("Saving shadow results")
+    _write_mask(psm.mask, params.shadow_potential_path(), params.nir_path)
+    _write_mask(match.shadow_mask, params.object_based_shadow_path(), params.nir_path)
+    _write_mask(final, params.shadow_path(), params.nir_path)
+    return status
+
+
+def detect_clouds(folder: Path | str, db: DataBase, config: DetectionConfig = DEFAULT_DETECTION) -> Status:
+    """Cloud-only variant (automatic_detection.cpp:238-258)."""
+    folder = Path(folder)
+    clp = _read_normalized_u8(folder / "CLP.tif", 255)
+    cld = _read_normalized_u8(folder / "CLD.tif", 100)
+    scl = GeoTIFF.open(folder / "SCL.tif").read()
+
+    generated = cm.generate_cloud_mask_ignore_low_probability(clp, cld, scl, config.cloud_mask)
+    status = Status(
+        clouds_computed=True,
+        percent_clouds=percent_non_zero(generated.cloud_mask),
+    )
+    status.percent_invalid = status.percent_clouds
+    _write_mask(generated.cloud_mask, folder / "cloud_mask.tif", folder / "B08.tif")
+    db.write_detection_result(Date.from_string(folder.name), status)
+    return status
+
+
+def detect_single_folder(
+    directory: Path | str,
+    diagonal_distance: float,
+    skip_shadow_detection: SkipShadowDetection = SkipShadowDetection(),
+    use_cache: bool = True,
+    config: DetectionConfig = DEFAULT_DETECTION,
+) -> Status | None:
+    """Detect one date folder and persist the Status to the parent's DB
+    (automatic_detection.cpp:260-284)."""
+    directory = Path(directory)
+    _logger.debug("Starting calculation")
+    sw = Stopwatch()
+    params = CloudParams.from_root(directory)
+    status = detect(params, diagonal_distance, skip_shadow_detection, use_cache, config)
+    db = DataBase(directory.parent)
+    if status is not None:
+        db.write_detection_result(Date.from_string(directory.name), status)
+    db.close()
+    _logger.debug("Finished in %.2f s", sw.elapsed())
+    return status
+
+
+def detect_in_folder(
+    folder_path: Path | str,
+    diagonal_distance: float,
+    skip_shadow_detection: SkipShadowDetection = SkipShadowDetection(),
+    use_cache: bool = True,
+    config: DetectionConfig = DEFAULT_DETECTION,
+) -> dict[Date, Status]:
+    """Detect every multispectral date folder under ``folder_path``
+    (automatic_detection.cpp:286-324)."""
+    folder_path = Path(folder_path)
+    results: dict[Date, Status] = {}
+    _logger.debug("Starting calculation")
+    sw = Stopwatch()
+    for directory in multispectral_folders(folder_path):
+        _logger.info("Calculating for %s", directory.name)
+        params = CloudParams.from_root(directory)
+        status = detect(params, diagonal_distance, skip_shadow_detection, use_cache, config)
+        if status is not None:
+            results[Date.from_string(directory.name)] = status
+    db = DataBase(folder_path)
+    db.write_detection_results(results)
+    db.close()
+    _logger.info("Finished computing")
+    _logger.debug("Finished in %.2f s", sw.elapsed())
+    return results
+
+
+def get_detection_results(base_folder: Path | str) -> dict[Date, Status]:
+    """Recompute Status rows by reading mask TIFFs from disk
+    (cloud_shadow_detection/db.cpp:87-142)."""
+    base_folder = Path(base_folder)
+    results: dict[Date, Status] = {}
+    for folder in multispectral_folders(base_folder):
+        status = Status()
+        cloud_values = shadow_values = None
+        if (folder / "cloud_mask.tif").exists():
+            try:
+                cloud_values = GeoTIFF.open(folder / "cloud_mask.tif").read()
+                status.clouds_computed = True
+            except Exception as e:  # noqa: BLE001
+                _logger.error("Failed to open cloud file: %s", e)
+        if (folder / "shadow_mask.tif").exists():
+            try:
+                shadow_values = GeoTIFF.open(folder / "shadow_mask.tif").read()
+                status.shadows_computed = True
+            except Exception as e:  # noqa: BLE001
+                _logger.warning("Failed to open shadow file: %s", e)
+        if not (status.clouds_computed or status.shadows_computed):
+            _logger.warning("Could not find mask data. Skipping dir: %s", folder)
+            continue
+        if shadow_values is None:
+            shadow_values = np.zeros_like(cloud_values)
+        if cloud_values is None:
+            cloud_values = np.zeros_like(shadow_values)
+        mask = cloud_values.astype(bool) | shadow_values.astype(bool)
+        status.percent_clouds = percent_non_zero(cloud_values)
+        if status.shadows_computed:
+            status.percent_shadows = percent_non_zero(shadow_values)
+        status.percent_invalid = percent_non_zero(mask)
+        results[Date.from_string(folder.name)] = status
+    return results

@@ -1,0 +1,93 @@
+"""Potential (candidate) shadow mask from pit-filled NIR darkness.
+
+Rebuild of lib/cloud_shadow_detection/source/PotentialShadowMask.cpp:21-51:
+pick a clear-sky NIR reference level (percentile chosen by cloud cover via a
+linear ramp), flood every NIR pit up to that level, and flag pixels whose
+fill depth exceeds 0.02 — OR'd with SCL shadow/dark classes, blurred, and
+cut away from clouds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import ShadowMaskConfig
+from ...ops.blur import gaussian_blur
+from ...ops.masks import scl_mask, SCL, cover_percentage
+from ...ops.pitfill import pit_fill
+
+
+@dataclasses.dataclass
+class PotentialShadowMaskResult:
+    mask: np.ndarray
+    difference_of_pitfill_nir: np.ndarray
+    pitfill_result: np.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _potential_shadow_kernel(nir, cloud_mask, scl, config: ShadowMaskConfig):
+    scl_shadow_dark = scl_mask(scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS))
+    scl_shadow_dark_water = scl_mask(
+        scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS, SCL.WATER)
+    )
+
+    # The reference's partitionUnobscuredObscured collects NIR values where
+    # the combined mask is TRUE (ImageOperations.h; PotentialShadowMask.cpp:29-31)
+    # — faithfully reproduced, surprising as the selector reads.
+    selector = cloud_mask | scl_shadow_dark_water
+    cloud_cover = cover_percentage(cloud_mask)
+    percent = jnp.clip(
+        config.percentile_lo
+        + (cloud_cover - config.cloud_cover_lo)
+        * (config.percentile_hi - config.percentile_lo)
+        / (config.cloud_cover_hi - config.cloud_cover_lo),
+        config.percentile_lo,
+        config.percentile_hi,
+    )  # linearStep((.07,.4)->(.2,.7)) (PotentialShadowMask.cpp:32-34)
+    outside_value = _dynamic_percentile(nir, selector, percent)
+
+    pitfilled = pit_fill(nir, outside_value)
+    difference = pitfilled - nir
+    prelim = difference >= config.nir_difference_threshold
+    blurred = gaussian_blur((prelim | scl_shadow_dark).astype(jnp.float32), config.blur_sigma)
+    mask = (blurred >= config.blur_threshold) & (~cloud_mask)
+    return mask, difference, pitfilled
+
+
+def _dynamic_percentile(values, mask, percent):
+    """masked_percentile with a traced percent (same semantics as
+    Functions.cpp:29-35)."""
+    flat = jnp.where(mask.ravel(), values.ravel(), jnp.inf).astype(jnp.float32)
+    ordered = jnp.sort(flat)
+    count = jnp.sum(mask.astype(jnp.int32))
+    x = (percent.astype(jnp.float32) * count.astype(jnp.float32)).astype(jnp.int32)
+    idx = jnp.clip(x - 1, 0, flat.size - 1)
+    value = ordered[idx]
+    value = jnp.where(x < 1, jnp.float32(0.0), value)
+    value = jnp.where(x > count, jnp.float32(1.0), value)
+    return value
+
+
+def generate_potential_shadow_mask(
+    nir: np.ndarray,
+    cloud_mask: np.ndarray,
+    scl: np.ndarray,
+    config: ShadowMaskConfig = ShadowMaskConfig(),
+) -> PotentialShadowMaskResult:
+    """Full candidate-shadow stage (PotentialShadowMask.cpp:21-51)."""
+    mask, diff, pitfilled = _potential_shadow_kernel(
+        jnp.asarray(nir, jnp.float32),
+        jnp.asarray(cloud_mask, bool),
+        jnp.asarray(scl),
+        config,
+    )
+    return PotentialShadowMaskResult(
+        mask=np.asarray(mask),
+        difference_of_pitfill_nir=np.asarray(diff),
+        pitfill_result=np.asarray(pitfilled),
+    )

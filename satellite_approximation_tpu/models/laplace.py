@@ -1,0 +1,145 @@
+"""Laplace fill: solve del^2 u = 0 over masked pixels with Dirichlet data.
+
+TPU-native rebuild of lib/approx/source/laplace.cpp. The reference collects
+invalid pixels, takes their bounding box, and assembles one sparse system
+over the whole bbox with identity rows for known/image-border pixels and
+5-point Laplacian rows for masked pixels (laplace.cpp:31-119). Identity rows
+are decoupled, so the equivalent matrix-free system here is: unknowns
+U = invalid AND not-on-image-border; for p in U
+
+    4 u_p - sum_{q in N4(p) ∩ U} u_q = sum_{q in N4(p) \\ U} input_q
+
+(image-border pixels are always treated as known — laplace.cpp:96-100 —
+even when flagged invalid, so every unknown has 4 in-image neighbours).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SolverConfig, DEFAULT_SOLVER
+from ..utils.log import create_logger
+from ..utils.perf import Stopwatch
+from .cg import solve_masked_poisson, CGResult
+from . import multigrid
+
+_logger = create_logger("approx.laplace")
+
+
+def _laplace_unknowns(invalid: np.ndarray) -> np.ndarray:
+    u = np.asarray(invalid, dtype=bool).copy()
+    u[0, :] = False
+    u[-1, :] = False
+    u[:, 0] = False
+    u[:, -1] = False
+    return u
+
+
+def _laplace_rhs(images: np.ndarray, umask: np.ndarray) -> np.ndarray:
+    """b = sum of known-neighbour values (laplace.cpp:71-85), batched."""
+    known = np.asarray(images, dtype=np.float64) * (~umask)
+    p = np.pad(known, [(0, 0)] * (known.ndim - 2) + [(1, 1), (1, 1)])
+    h, w = known.shape[-2], known.shape[-1]
+    s = (
+        p[..., 0:h, 1 : w + 1]
+        + p[..., 2 : h + 2, 1 : w + 1]
+        + p[..., 1 : h + 1, 0:w]
+        + p[..., 1 : h + 1, 2 : w + 2]
+    )
+    return s * umask
+
+
+def solve_matrix(
+    images: np.ndarray,
+    invalid_mask: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER,
+) -> tuple[np.ndarray, CGResult]:
+    """Fill invalid pixels of (H,W) or (C,H,W) ``images`` (laplace.cpp:31-119).
+
+    Returns (filled_images, solve_info). The solve runs to near machine
+    precision like the reference's default-tolerance Eigen CG
+    (laplace.cpp:113 via approx/utils.h:17).
+    """
+    images = np.asarray(images, dtype=np.float64)
+    squeeze = images.ndim == 2
+    if squeeze:
+        images = images[None]
+    invalid = np.asarray(invalid_mask, dtype=bool)
+    if invalid.shape != images.shape[-2:]:
+        raise ValueError(
+            f"Image and mask sizes differ ({images.shape[-2:]} vs {invalid.shape})"
+        )
+
+    umask = _laplace_unknowns(invalid)
+    if not umask.any():
+        _logger.info("Could not perform approximation: no invalid pixels")
+        out = images[0] if squeeze else images
+        return out, CGResult(out, 0, 0.0)
+
+    b = _laplace_rhs(images, umask)
+    deg = np.full(invalid.shape, 4.0, dtype=np.float32)
+    # warm start: solve from the known-image values inside the mask
+    x0 = images * umask
+
+    n = int(umask.sum())
+    if config.use_multigrid and n >= config.mg_threshold_pixels:
+        result = multigrid.solve(
+            b, umask, deg=deg, x0=x0, tolerance=1e-9,
+            refinement_steps=max(config.refinement_steps, 2),
+        )
+    else:
+        result = solve_masked_poisson(
+            b,
+            umask,
+            x0=x0,
+            deg=deg,
+            tolerance=1e-7,  # + f64 refinement ~ Eigen's machine-eps default
+            max_iterations=4 * n + 64,
+            refinement_steps=max(config.refinement_steps, 2),
+        )
+
+    filled = np.where(umask, result.x, images)
+    out = filled[0] if squeeze else filled
+    return out, result
+
+
+def fill_missing_portion_smooth_boundary(
+    input_image: np.ndarray,
+    invalid_pixels: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER,
+) -> np.ndarray:
+    """Public fill entry point (laplace.cpp:122-132)."""
+    sw = Stopwatch()
+    out, _ = solve_matrix(input_image, invalid_pixels, config)
+    _logger.debug("It took %.3f seconds to solve the problem", sw.elapsed())
+    return out
+
+
+def filling_missing_portions_smooth_boundaries(
+    input_image: np.ndarray, invalid_pixels: np.ndarray
+) -> np.ndarray:
+    """pybind-surface alias (reference src/main.cpp:49-54)."""
+    return fill_missing_portion_smooth_boundary(input_image, invalid_pixels)
+
+
+def apply_laplace(
+    image: np.ndarray, invalid_image: np.ndarray, red_threshold: float = 220.0
+) -> np.ndarray:
+    """Derive the mask from a marker image and fill every channel.
+
+    Mask = (red >= red_threshold) AND (green <= 150) on the marker image's
+    red/green channels (laplace.cpp:134-147). ``image`` and
+    ``invalid_image`` are (H, W, C) RGB-ordered arrays (the reference works
+    on OpenCV BGR mats and indexes channels_cv[2]/[1] — i.e. R and G).
+    All channels solve in one batched call instead of the reference's
+    sequential per-channel loop (laplace.cpp:153-162).
+    """
+    invalid_image = np.asarray(invalid_image)
+    red = invalid_image[..., 0].astype(np.float64)
+    green = invalid_image[..., 1].astype(np.float64)
+    invalid = (red >= red_threshold) & (green <= 150)
+    _logger.debug("Laplace: found %d pixels to replace", int(invalid.sum()))
+
+    channels = np.moveaxis(np.asarray(image, dtype=np.float64), -1, 0)
+    filled, _ = solve_matrix(channels, invalid)
+    return np.moveaxis(filled, 0, -1)

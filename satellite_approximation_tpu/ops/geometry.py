@@ -1,0 +1,178 @@
+"""World-frame geometry for the detection pipeline.
+
+Rebuild of lib/cloud_shadow_detection/source/Functions.cpp and the
+pixel<->world mapping of ImageOperations.h:47-117. The world frame matches
+the reference: x east in km, y north-from-bottom in km, z altitude in km;
+an image of (H, W) pixels spans ``sides = D * normalize((W, H))`` where D is
+the geodetic diagonal length. Pixel coordinates in this module are the
+reference's (i, j) = (col, row-from-bottom); conversion to array rows is
+``row = H - 1 - j`` and happens only at array access boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_distance(p0: tuple[float, float], p1: tuple[float, float]) -> float:
+    """Great-circle distance in km between two (lng, lat) points
+    (Functions.cpp:37-46, f32 like the reference)."""
+    lng0, lat0 = np.radians(np.float32(p0[0])), np.radians(np.float32(p0[1]))
+    lng1, lat1 = np.radians(np.float32(p1[0])), np.radians(np.float32(p1[1]))
+    dlng2 = (lng1 - lng0) * np.float32(0.5)
+    dlat2 = (lat1 - lat0) * np.float32(0.5)
+    a = np.sin(dlat2) ** 2 + np.cos(lat0) * np.cos(lat0) * np.sin(dlng2) ** 2
+    return float(
+        np.float32(2.0) * np.float32(EARTH_RADIUS_KM) * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+    )
+
+
+def sides(shape_hw: tuple[int, int], diagonal: float) -> tuple[float, float]:
+    """(side_x, side_y) in km (ImageOperations.h sides)."""
+    h, w = shape_hw
+    n = np.sqrt(float(w) * w + float(h) * h)
+    return (diagonal * w / n, diagonal * h / n)
+
+
+def pixel_to_world(
+    shape_hw: tuple[int, int],
+    diagonal: float,
+    i,
+    j,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> np.ndarray:
+    """World (x, y, 0) of pixel (i, j-from-bottom) with sub-pixel offsets
+    (ImageOperations.h pos)."""
+    h, w = shape_hw
+    sx, sy = sides(shape_hw, diagonal)
+    i = np.asarray(i, dtype=np.float64)
+    j = np.asarray(j, dtype=np.float64)
+    return np.stack(
+        [sx * (i + alpha) / w, sy * (j + beta) / h, np.zeros_like(i)], axis=-1
+    )
+
+
+def world_to_index(shape_hw: tuple[int, int], diagonal: float, pos) -> np.ndarray:
+    """Pixel (i, j-from-bottom) containing a world point, floor semantics
+    (ImageOperations.h index)."""
+    h, w = shape_hw
+    sx, sy = sides(shape_hw, diagonal)
+    pos = np.asarray(pos, dtype=np.float64)
+    return np.stack(
+        [np.floor(w * pos[..., 0] / sx), np.floor(h * pos[..., 1] / sy)], axis=-1
+    ).astype(np.int64)
+
+
+@dataclasses.dataclass
+class Quad:
+    """Four 3-D corners (types.h Quad): p00, p01, p10, p11."""
+
+    p00: np.ndarray
+    p01: np.ndarray
+    p10: np.ndarray
+    p11: np.ndarray
+
+    def corners(self) -> np.ndarray:
+        return np.stack([self.p00, self.p01, self.p10, self.p11])
+
+    @classmethod
+    def from_corners(cls, c: np.ndarray) -> "Quad":
+        return cls(c[0], c[1], c[2], c[3])
+
+    def transform(self, m: np.ndarray) -> "Quad":
+        """Apply a 4x4 homogeneous transform (types.cpp Quad operator*)."""
+        c = self.corners()
+        hom = np.concatenate([c, np.ones((4, 1))], axis=1)
+        out = (m @ hom.T).T
+        return Quad.from_corners(out[:, :3])
+
+
+def plane_line_intersection(
+    plane_p0: np.ndarray, plane_n: np.ndarray, line_p0: np.ndarray, line_d: np.ndarray
+) -> np.ndarray:
+    """Plane ∩ line (types.cpp operator&): l(t) with
+    t = n.(p0_plane - p0_line) / n.d."""
+    t = np.dot(plane_n, plane_p0 - line_p0) / np.dot(plane_n, line_d)
+    return line_p0 + line_d * t
+
+
+def perspective(quad: Quad, eye: np.ndarray, plane_p0: np.ndarray, plane_n: np.ndarray) -> Quad:
+    """Project each corner toward ``eye`` onto a plane (Functions.cpp:58-65)."""
+    out = []
+    for p in quad.corners():
+        out.append(plane_line_intersection(plane_p0, plane_n, p, eye - p))
+    return Quad.from_corners(np.stack(out))
+
+
+def affine_transform(qi: Quad, qf: Quad) -> np.ndarray:
+    """4x4 transform mapping quad qi onto qf: M = X2 @ X1^-1 with corner
+    columns homogenized (Functions.cpp:67-88; the reference computes this in
+    long double — we use f64, ample for the downstream pixel rounding)."""
+    x1 = np.concatenate([qi.corners().T, np.ones((1, 4))], axis=0)
+    x2 = np.concatenate([qf.corners().T, np.ones((1, 4))], axis=0)
+    return x2 @ np.linalg.inv(x1)
+
+
+def quadratic_radial_basis(d, lo: float, hi: float, percent: float):
+    """Smooth 1→0 falloff over [lo, hi] with a quadratic knee at
+    ``percent`` of the interval (Functions.cpp:151-162). Vectorized."""
+    d = np.asarray(d, dtype=np.float32)
+    lo, hi, percent = np.float32(lo), np.float32(hi), np.float32(percent)
+    a = percent * hi + (1 - percent) * lo
+    span2 = (hi - lo) * (hi - lo)
+    falling = 1 - (d - lo) * (d - lo) / (span2 * percent)
+    rising = (d - hi) * (d - hi) / (span2 * (1 - percent))
+    out = np.where(d <= lo, np.float32(1.0), np.where(d <= a, falling, np.where(d <= hi, rising, np.float32(0.0))))
+    return out
+
+
+def vector_grid(zenith_rad: np.ndarray, azimuth_rad: np.ndarray) -> np.ndarray:
+    """Per-pixel 3-D direction (..., 3) from zenith/azimuth angle rasters —
+    the y component negated to match the world frame
+    (VectorGridOperations.cpp:10-25)."""
+    sz = np.sin(zenith_rad)
+    return np.stack(
+        [sz * np.sin(azimuth_rad), -sz * np.cos(azimuth_rad), np.cos(zenith_rad)], axis=-1
+    )
+
+
+def ls_point_equal_to(
+    grid: np.ndarray, shape_hw: tuple[int, int], diagonal: float, z: float
+) -> np.ndarray:
+    """Least-squares point nearest all pixel rays, constrained to altitude z
+    (VectorGridOperations.cpp:44-71, 90-99). ``grid`` is (H, W, 3) with grid
+    row 0 = image row 0 (top); the reference's bottom-origin pixel positions
+    are reproduced via j = H-1-row. Accumulated in f64 (the reference's f32
+    accumulation over millions of pixels loses ~4 digits; the extra accuracy
+    moves the solution well below pixel resolution)."""
+    h, w = shape_hw
+    d = np.asarray(grid, dtype=np.float64)
+    norm = np.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / norm
+    rows = np.arange(h)[:, None] * np.ones((1, w))
+    cols = np.ones((h, 1)) * np.arange(w)[None, :]
+    a = pixel_to_world(shape_hw, diagonal, cols, h - 1 - rows)  # (H, W, 3)
+
+    valid = np.isfinite(dn).all(axis=-1) & np.isfinite(a).all(axis=-1)
+    dn = np.where(valid[..., None], dn, 0.0)
+    a = np.where(valid[..., None], a, 0.0)
+    n = float(valid.sum())
+
+    # b = -sum planeProjection(a, d) = -sum (a - d (d.a))
+    da = np.sum(dn * a, axis=-1, keepdims=True)
+    b3 = -(a - dn * da).sum(axis=(0, 1))
+    s = np.einsum("hwi,hwj->ij", dn, dn)  # sum d d^T
+    m3 = s - n * np.eye(3)
+
+    m4 = np.zeros((4, 4))
+    m4[:3, :3] = m3
+    m4[2, 3] = 0.5
+    m4[3, 2] = 1.0
+    b4 = np.concatenate([b3, [z]])
+    sol = np.linalg.solve(m4, b4)
+    return sol[:3]

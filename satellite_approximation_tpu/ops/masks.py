@@ -1,0 +1,96 @@
+"""Mask & classification primitives.
+
+Replaces the reference's elementwise CPU loops:
+* Sentinel-2 Scene Classification Layer masks
+  (lib/cloud_shadow_detection/source/SceneClassificationLayer.cpp:56-99),
+* Threshold / NOT / AND / OR / normalize / CoverPercentage
+  (lib/cloud_shadow_detection/source/ImageOperations.cpp:6-50,176-192).
+
+All functions are jittable and vmappable.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SCL(enum.IntEnum):
+    """Sentinel-2 SCL class values (reference SceneClassificationLayer.h:5-17)."""
+
+    NO_DATA = 0
+    SATURATED_DEFECTIVE = 1
+    DARK_AREA_PIXELS = 2
+    CLOUD_SHADOWS = 3
+    VEGETATION = 4
+    BARE_SOIL = 5
+    WATER = 6
+    CLOUD_LOW = 7
+    CLOUD_MEDIUM = 8
+    CLOUD_HIGH = 9
+    CLOUD_CIRRUS = 10
+    SNOW_ICE = 11
+
+
+# RGBA colours per class (reference SceneClassificationLayer.h:31-43), as
+# 0xAABBGGRR words matching the reference's packing.
+SCL_COLOURS = {
+    SCL.NO_DATA: 0xFF000000,
+    SCL.SATURATED_DEFECTIVE: 0xFF333333,
+    SCL.DARK_AREA_PIXELS: 0xFF00FFFF,
+    SCL.CLOUD_SHADOWS: 0xFFFF007F,
+    SCL.VEGETATION: 0xFF00FF00,
+    SCL.BARE_SOIL: 0xFF003300,
+    SCL.WATER: 0xFFFF0000,
+    SCL.CLOUD_LOW: 0xFF000033,
+    SCL.CLOUD_MEDIUM: 0xFF00007F,
+    SCL.CLOUD_HIGH: 0xFF0000FF,
+    SCL.CLOUD_CIRRUS: 0xFF00FFFF,
+    SCL.SNOW_ICE: 0xFFFFFF00,
+}
+
+
+def scl_mask(scl: jnp.ndarray, classes: tuple[SCL, ...] | frozenset[SCL]) -> jnp.ndarray:
+    """Boolean mask of pixels whose SCL class is in ``classes``.
+
+    Vectorized form of SceneClassificationLayer::GenerateMask
+    (SceneClassificationLayer.cpp:56-99). ``classes`` must be static.
+    """
+    values = sorted(int(c) for c in classes)
+    out = jnp.zeros(scl.shape, dtype=bool)
+    for v in values:
+        out = out | (scl == v)
+    return out
+
+
+def scl_rgba(scl: np.ndarray) -> np.ndarray:
+    """Class → packed RGBA colour map (SceneClassificationLayer.cpp:101-144)."""
+    scl = np.asarray(scl)
+    out = np.full(scl.shape, SCL_COLOURS[SCL.NO_DATA], dtype=np.uint32)
+    for cls, colour in SCL_COLOURS.items():
+        if cls == SCL.NO_DATA:
+            continue
+        out[scl == int(cls)] = colour
+    return out
+
+
+def normalize(image: jnp.ndarray, max_value: float) -> jnp.ndarray:
+    """Cast to f32 and divide by ``max_value`` (ImageOperations.h normalize)."""
+    return image.astype(jnp.float32) / jnp.float32(max_value)
+
+
+def threshold(image: jnp.ndarray, value) -> jnp.ndarray:
+    """``image >= value`` (ImageOperations.cpp:6-27)."""
+    return image >= value
+
+
+def cover_count(mask: jnp.ndarray) -> jnp.ndarray:
+    """Number of true pixels (ImageOperations.cpp:176)."""
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+def cover_percentage(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of true pixels, f32 (ImageOperations.cpp:178-186)."""
+    return jnp.sum(mask.astype(jnp.float32)) / jnp.float32(mask.size)
