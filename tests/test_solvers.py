@@ -1,0 +1,172 @@
+"""Laplace/Poisson solver validation against the scipy sparse oracle
+(BASELINE parity target: 1e-5 per-pixel)."""
+
+import numpy as np
+import pytest
+
+from oracle_solvers import laplace_fill_oracle, poisson_blend_oracle
+
+from satellite_approximation_tpu.models.laplace import (
+    fill_missing_portion_smooth_boundary,
+    apply_laplace,
+    solve_matrix,
+)
+from satellite_approximation_tpu.models.poisson import (
+    blend_images_poisson,
+    valid_pixel_mask,
+)
+
+rng = np.random.default_rng(7)
+
+
+def smooth_image(h, w, seed=0):
+    r = np.random.default_rng(seed)
+    x = r.random((h, w))
+    for _ in range(8):
+        x = 0.25 * (np.roll(x, 1, 0) + np.roll(x, -1, 0) + np.roll(x, 1, 1) + np.roll(x, -1, 1))
+    return x
+
+
+def blob_mask(h, w, seed=1, frac=0.08):
+    r = np.random.default_rng(seed)
+    m = np.zeros((h, w), dtype=bool)
+    for _ in range(4):
+        cy, cx = r.integers(5, h - 5), r.integers(5, w - 5)
+        ry, rx = r.integers(2, max(h // 6, 3)), r.integers(2, max(w // 6, 3))
+        yy, xx = np.ogrid[:h, :w]
+        m |= ((yy - cy) / max(ry, 1)) ** 2 + ((xx - cx) / max(rx, 1)) ** 2 <= 1.0
+    return m
+
+
+class TestLaplace:
+    def test_matches_oracle(self):
+        img = smooth_image(40, 50)
+        mask = blob_mask(40, 50)
+        ours = fill_missing_portion_smooth_boundary(img.copy(), mask)
+        oracle = laplace_fill_oracle(img, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+    def test_residual(self):
+        img = smooth_image(30, 30, seed=3)
+        mask = blob_mask(30, 30, seed=4)
+        filled, info = solve_matrix(img.copy(), mask)
+        assert info.error < 1e-6
+        # interior masked pixels satisfy the 5-point Laplace equation
+        interior = mask.copy()
+        interior[0, :] = interior[-1, :] = interior[:, 0] = interior[:, -1] = False
+        lap = (
+            np.roll(filled, 1, 0) + np.roll(filled, -1, 0)
+            + np.roll(filled, 1, 1) + np.roll(filled, -1, 1)
+            - 4 * filled
+        )
+        assert np.abs(lap[interior]).max() < 1e-5
+
+    def test_mask_on_border(self):
+        # invalid pixels on the image border are treated as known (pinned)
+        img = smooth_image(20, 20, seed=5)
+        mask = np.zeros((20, 20), dtype=bool)
+        mask[0, 5:9] = True  # border — stays untouched
+        mask[10:13, 10:13] = True
+        ours = fill_missing_portion_smooth_boundary(img.copy(), mask)
+        oracle = laplace_fill_oracle(img, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+        np.testing.assert_array_equal(ours[0, 5:9], img[0, 5:9])
+
+    def test_no_invalid_pixels(self):
+        img = smooth_image(10, 10)
+        out = fill_missing_portion_smooth_boundary(img.copy(), np.zeros((10, 10), bool))
+        np.testing.assert_array_equal(out, img)
+
+    def test_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            fill_missing_portion_smooth_boundary(np.zeros((5, 5)), np.zeros((4, 4), bool))
+
+    def test_multichannel_batch(self):
+        imgs = np.stack([smooth_image(24, 24, seed=s) for s in range(3)])
+        mask = blob_mask(24, 24, seed=9)
+        ours, _ = solve_matrix(imgs, mask)
+        for c in range(3):
+            oracle = laplace_fill_oracle(imgs[c], mask)
+            np.testing.assert_allclose(ours[c], oracle, atol=1e-5)
+
+    def test_apply_laplace_marker_semantics(self):
+        img = np.stack([smooth_image(20, 20, seed=s) for s in range(3)], axis=-1) * 255
+        marker = np.zeros((20, 20, 3), dtype=np.uint8)
+        marker[8:12, 8:12, 0] = 255  # red
+        out = apply_laplace(img, marker, red_threshold=220)
+        assert out.shape == img.shape
+        changed = np.abs(out - img).sum(axis=-1) > 1e-9
+        expected = np.zeros((20, 20), bool)
+        expected[8:12, 8:12] = True
+        np.testing.assert_array_equal(changed, expected)
+
+
+class TestPoisson:
+    def test_mask_overload_matches_oracle(self):
+        h, w = 36, 44
+        inputs = np.stack([smooth_image(h, w, seed=s) for s in range(3)])
+        repl = np.stack([smooth_image(h, w, seed=s + 10) for s in range(3)])
+        mask = blob_mask(h, w, seed=11)
+        ours = blend_images_poisson(inputs, repl, invalid_mask=mask, tolerance=1e-10)
+        oracle = poisson_blend_oracle(inputs, repl, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+    def test_known_pixels_untouched(self):
+        h, w = 20, 20
+        inputs = np.stack([smooth_image(h, w, seed=s) for s in range(2)])
+        repl = np.stack([smooth_image(h, w, seed=s + 5) for s in range(2)])
+        mask = blob_mask(h, w, seed=6)
+        out = blend_images_poisson(inputs, repl, invalid_mask=mask)
+        np.testing.assert_array_equal(out[:, ~mask], inputs[:, ~mask])
+
+    def test_constant_guidance_reduces_to_laplace_interp(self):
+        # with a constant replacement, gradients vanish: the solve is the
+        # membrane interpolant of the boundary
+        h, w = 24, 24
+        inputs = np.stack([smooth_image(h, w, seed=1)])
+        repl = np.full((1, h, w), 0.5)
+        mask = np.zeros((h, w), bool)
+        mask[8:16, 8:16] = True
+        out = blend_images_poisson(inputs, repl, invalid_mask=mask, tolerance=1e-10)
+        oracle = poisson_blend_oracle(inputs, repl, mask)
+        np.testing.assert_allclose(out, oracle, atol=1e-6)
+
+    def test_offset_overload(self):
+        # seamless clone of a small patch into a larger image
+        ih, iw, rh, rw = 40, 40, 12, 14
+        inputs = np.stack([smooth_image(ih, iw, seed=s) for s in range(3)])
+        repl = np.stack([smooth_image(rh, rw, seed=s + 3) for s in range(3)])
+        # white-out a corner (sentinel): those pixels are NOT blended
+        repl[:, :3, :3] = 1.0
+        out = blend_images_poisson(inputs, repl, start_row=5, start_column=7)
+        mask = valid_pixel_mask(repl)
+        assert not mask[0, 0]
+        window = out[:, 5 : 5 + rh, 7 : 7 + rw]
+        np.testing.assert_array_equal(window[:, ~mask], inputs[:, 5 : 5 + rh, 7 : 7 + rw][:, ~mask])
+        assert np.abs(window[:, mask] - inputs[:, 5 : 5 + rh, 7 : 7 + rw][:, mask]).max() > 1e-8
+
+    def test_list_api_roundtrip(self):
+        h, w = 16, 16
+        inputs = [smooth_image(h, w, seed=s) for s in range(3)]
+        repl = [smooth_image(h, w, seed=s + 7) for s in range(3)]
+        mask = blob_mask(h, w, seed=8)
+        out = blend_images_poisson(inputs, repl, invalid_mask=mask)
+        assert isinstance(out, list) and len(out) == 3
+        assert out[0].shape == (h, w)
+
+    def test_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            blend_images_poisson(
+                np.zeros((1, 5, 5)), np.zeros((1, 4, 4)), invalid_mask=np.zeros((5, 5), bool)
+            )
+
+    def test_perf_info_written(self, tmp_path):
+        h, w = 16, 16
+        inputs = np.stack([smooth_image(h, w, seed=1)])
+        repl = np.stack([smooth_image(h, w, seed=2)])
+        mask = blob_mask(h, w, seed=3)
+        path = tmp_path / "perf.csv"
+        blend_images_poisson(inputs, repl, invalid_mask=mask, perf_path=path)
+        line = path.read_text().strip().split(",")
+        assert int(line[0]) == int(mask.sum())
+        assert float(line[1]) == 1e-6
