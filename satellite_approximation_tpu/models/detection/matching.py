@@ -119,7 +119,13 @@ def _cast_transforms(
     x2 = np.swapaxes(x2, -1, -2)  # corners as columns (4,4)
     x1 = np.concatenate([corners, np.ones((corners.shape[0], 4, 1))], axis=-1)
     x1 = np.swapaxes(x1, -1, -2)
-    x1inv = np.linalg.inv(x1)  # (Nc,4,4)
+    # The quad corners all lie in z=0, so x1 is rank-3 singular. The
+    # reference feeds it to Eigen's FullPivHouseholderQr inverse anyway
+    # (Functions.cpp:84) — an ill-defined operation on a singular matrix.
+    # The well-defined equivalent is the minimum-norm least-squares affine
+    # fit M = x2 @ pinv(x1); for the near-affine sun/view projections the
+    # fit residual is negligible.
+    x1inv = np.linalg.pinv(x1)  # (Nc,4,4)
     m = np.einsum("cnij,cjk->cnik", x2, x1inv)
     m[..., 2, 2] = 1.0  # make invertible (CloudShadowMatching.cpp:144)
     minv = np.linalg.inv(m)

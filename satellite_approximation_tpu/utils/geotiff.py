@@ -91,9 +91,15 @@ class GeoTIFF:
             n = getattr(im, "n_frames", 1)
         except Exception:  # noqa: BLE001
             n = 1
+        big_endian = getattr(im.tag_v2, "prefix", b"II") == b"MM"
         for k in range(n):
             im.seek(k)
-            frames.append(np.asarray(im))
+            arr = np.asarray(im)
+            # PIL's 'F' rawmode ignores the TIFF byte order for float
+            # samples; big-endian float rasters come back bit-garbled.
+            if big_endian and arr.dtype == np.float32 and im.mode == "F":
+                arr = arr.view(np.uint32).byteswap().view(np.float32)
+            frames.append(arr)
         im.seek(0)
         gt = _geotransform_from_tags(tags)
         return cls(

@@ -1,0 +1,213 @@
+"""Detection-pipeline unit/parity tests on small synthetic scenes, with
+pure-Python loop oracles ported from the reference's per-pixel code."""
+
+import numpy as np
+import pytest
+
+import oracle_detection as od
+
+from satellite_approximation_tpu.config import MatchingConfig, RefinementConfig
+from satellite_approximation_tpu.models.detection import cloud_mask as cm
+from satellite_approximation_tpu.models.detection import matching, refinement
+from satellite_approximation_tpu.ops import geometry
+
+rng = np.random.default_rng(21)
+
+
+def make_scene(h=96, w=128, diag=10.0, n_clouds=3, seed=5):
+    """Synthetic scene: a few rectangular clouds + a potential-shadow field
+    displaced roughly along -x (sun in the +x direction)."""
+    r = np.random.default_rng(seed)
+    mask = np.zeros((h, w), dtype=bool)
+    for _ in range(n_clouds):
+        cy, cx = int(r.integers(18, h - 26)), int(r.integers(30, w - 30))
+        hh, ww = int(r.integers(4, 9)), int(r.integers(4, 10))
+        mask[cy : cy + hh, cx : cx + ww] = True
+    cmap, clouds = cm.partition_cloud_mask(mask, diag, 3)
+
+    # sun to the east, satellite overhead
+    sun_pos = np.array([2.0e8, 1.0e8, 1.5e9])
+    view_pos = np.array([0.05, 0.1, 785.0])
+
+    # potential shadows: clouds shifted by the displacement a ~2km cloud casts
+    shift_px = 14
+    psm = np.zeros_like(mask)
+    psm[:, :-shift_px] = mask[:, shift_px:]
+    psm |= r.random((h, w)) > 0.96
+    psm &= ~mask
+    return mask, cmap, clouds, psm, sun_pos, view_pos, diag
+
+
+class TestCastTransforms:
+    def test_matches_oracle(self):
+        mask, cmap, clouds, psm, sun, view, diag = make_scene()
+        h, w = mask.shape
+        heights = np.array([0.5, 2.0, 7.5])
+        a2, delta, bounds, m_all = matching._cast_transforms(
+            clouds, heights, (h, w), diag, sun, view
+        )
+        for k, cloud in enumerate(clouds):
+            for n, z in enumerate(heights):
+                m_o = od.cast_transform_oracle(cloud.quad.corners(), z, sun, view)
+                np.testing.assert_allclose(m_all[k, n], m_o, rtol=1e-8, atol=1e-10)
+
+    def test_height_sweep_f32_accumulation(self):
+        hs = matching.height_sweep(MatchingConfig())
+        assert hs[0] == pytest.approx(0.2)
+        assert abs(hs[1] - 0.225) < 1e-6
+        assert len(hs) in (472, 473)  # f32 accumulation decides the last step
+        assert hs[-1] <= 12.0 + 1e-6
+
+
+class TestMatching:
+    def test_similarity_matches_loop_oracle(self):
+        mask, cmap, clouds, psm, sun, view, diag = make_scene()
+        h, w = mask.shape
+        res = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, diag, sun, view
+        )
+        heights = matching.height_sweep(MatchingConfig())
+        # verify the reported best (height, similarity) against the oracle
+        for cloud in clouds:
+            sol = res.solutions[cloud.id]
+            best_sim = -1.0
+            best_h = 0.0
+            for z in heights:
+                m_o = od.cast_transform_oracle(cloud.quad.corners(), z, sun, view)
+                sim, hits, _ = od.similarity_comparison_oracle(
+                    cloud.id, cloud.quad.corners(), m_o, cmap, mask, psm, diag
+                )
+                if sim > best_sim:
+                    best_sim, best_h, best_hits = sim, z, hits
+            if best_sim < 0.3:
+                assert sol.similarity == -1.0
+                assert res.shadows[cloud.id].window is None
+            else:
+                assert sol.similarity == pytest.approx(best_sim, abs=1e-6)
+                assert sol.height == pytest.approx(best_h, abs=1e-9)
+                shadow = res.shadows[cloud.id]
+                got = set()
+                ax, ay = shadow.anchor
+                ys, xs = np.nonzero(shadow.window)
+                for y, x in zip(ys, xs):
+                    got.add((int(x + ax), int(y + ay)))
+                assert got == set(best_hits)
+
+    def test_shadow_mask_is_union_of_hits(self):
+        mask, cmap, clouds, psm, sun, view, diag = make_scene(seed=9)
+        res = matching.match_clouds_shadows(clouds, cmap, mask, psm, diag, sun, view)
+        h, w = mask.shape
+        expect = np.zeros((h, w), dtype=bool)
+        for s in res.shadows.values():
+            if s.window is None:
+                continue
+            ax, ay = s.anchor
+            ys, xs = np.nonzero(s.window)
+            for y, x in zip(ys, xs):
+                expect[h - 1 - (y + ay), x + ax] = True
+        np.testing.assert_array_equal(res.shadow_mask, expect)
+
+
+class TestBetaMap:
+    def test_single_shadow_matches_loop_oracle(self):
+        mask, cmap, clouds, psm, sun, view, diag = make_scene(seed=3)
+        h, w = mask.shape
+        res = matching.match_clouds_shadows(clouds, cmap, mask, psm, diag, sun, view)
+        clp = np.asarray(rng.random((h, w)), dtype=np.float32)
+        ours = refinement.beta_map(res.shadows, res.solutions, clp, diag)
+        expected = np.zeros((h, w), dtype=np.float32)
+        for sid, s in res.shadows.items():
+            if s.window is None:
+                continue
+            ax, ay = s.anchor
+            ys, xs = np.nonzero(s.window)
+            pixels = [(int(x + ax), int(y + ay)) for y, x in zip(ys, xs)]
+            contrib = od.beta_contribution_oracle(
+                pixels, res.solutions[sid].M, clp, diag
+            )
+            expected = np.maximum(expected, contrib)
+        np.testing.assert_allclose(np.flipud(ours), expected, atol=2e-6)
+
+
+class TestProbabilitySurface:
+    def test_histogram_means(self):
+        r = np.random.default_rng(2)
+        alpha = r.random((50, 60)).astype(np.float32)
+        beta = r.random((50, 60)).astype(np.float32)
+        shadow = r.random((50, 60)) > 0.7
+        el = refinement._probability_map_element(alpha, beta, shadow.astype(np.float32), 8)
+        i = np.clip((alpha * 8).astype(int), 0, 7)
+        j = np.clip((beta * 8).astype(int), 0, 7)
+        for ci in range(8):
+            for cj in range(8):
+                sel = (i == ci) & (j == cj)
+                if sel.sum():
+                    assert el.data[cj, ci] == pytest.approx(shadow[sel].mean(), abs=1e-6)
+
+    def test_hole_filling_fills_everything(self):
+        alpha = np.full((10, 10), 0.05, dtype=np.float32)
+        beta = np.full((10, 10), 0.05, dtype=np.float32)
+        shadow = np.ones((10, 10), dtype=np.float32)
+        el = refinement._probability_map_element(alpha, beta, shadow, 16)
+        assert np.isfinite(el.data).all()
+        assert el.data[0, 0] == pytest.approx(1.0)
+
+    def test_surface_sampling_interior(self):
+        data = np.outer(np.linspace(0, 1, 16), np.ones(16)).astype(np.float32)
+        s = refinement.UniformProbabilitySurface(data)
+        # at cell centers the bilinear sample reproduces the cell value
+        v = s.sample(np.array([(7 + 0.5) / 16]), np.array([(3 + 0.5) / 16]))
+        assert v[0] == pytest.approx(data[3, 7], abs=1e-6)
+
+    def test_improved_mask_composition(self):
+        h, w = 12, 14
+        surface = refinement.UniformProbabilitySurface(np.ones((8, 8), np.float32))
+        alpha = np.full((h, w), 0.5, np.float32)
+        beta = np.full((h, w), 0.5, np.float32)
+        obj = np.zeros((h, w), bool)
+        cloud = np.zeros((h, w), bool)
+        cloud[0, 0] = True
+        out = refinement.improved_shadow_mask(obj, cloud, alpha, beta, surface, 0.15)
+        assert out[3, 3]  # probability 1.0 >= .15
+        assert not out[0, 0]  # clouds excluded
+
+
+class TestAlphaMap:
+    def test_logistic_values(self):
+        a = refinement.alpha_map(np.array([[0.0, 0.5, 1.0]], dtype=np.float32))
+        assert a[0, 0] == pytest.approx(0.0, abs=1e-7)  # F(0) = f(-.5)-f(-.5)
+        assert 0.9 < a[0, 1] <= 1.0  # f(0) - f(-.5) ~ .993
+        assert a[0, 2] > a[0, 1]
+
+
+class TestGeometry:
+    def test_pixel_world_roundtrip(self):
+        shape = (33, 47)
+        diag = 12.0
+        for i, j in [(0, 0), (46, 32), (5, 17)]:
+            p = geometry.pixel_to_world(shape, diag, i, j)
+            idx = geometry.world_to_index(shape, diag, p)
+            assert (idx[0], idx[1]) == (i, j)
+
+    def test_haversine(self):
+        # one degree of latitude ~ 111.2 km
+        d = geometry.haversine_distance((0.0, 0.0), (0.0, 1.0))
+        assert d == pytest.approx(111.19, abs=0.1)
+
+    def test_ls_point_constrained_altitude(self):
+        h, w = 24, 24
+        zen = np.full((h, w), np.radians(30.0))
+        azi = np.full((h, w), np.radians(90.0))  # sun due east
+        grid = geometry.vector_grid(zen, azi)
+        p = geometry.ls_point_equal_to(grid, (h, w), 10.0, 1000.0)
+        assert p[2] == pytest.approx(1000.0)
+        assert p[0] > 500.0  # east of the scene
+        assert abs(p[1]) < 50.0
+
+    def test_quadratic_radial_basis(self):
+        assert od.beta_contribution_oracle == od.beta_contribution_oracle  # import check
+        v = geometry.quadratic_radial_basis(np.array([0.0, 5.0, 40.0, 80.0, 100.0]), 12.0, 80.0, 0.2)
+        assert v[0] == 1.0 and v[1] == 1.0
+        assert 0.0 < v[2] < 1.0
+        assert v[3] == pytest.approx(0.0)
+        assert v[4] == 0.0
