@@ -99,6 +99,8 @@ class GeoTIFF:
             # samples; big-endian float rasters come back bit-garbled.
             if big_endian and arr.dtype == np.float32 and im.mode == "F":
                 arr = arr.view(np.uint32).byteswap().view(np.float32)
+            if arr.dtype.byteorder not in ("=", "|"):
+                arr = arr.astype(arr.dtype.newbyteorder("="))
             frames.append(arr)
         im.seek(0)
         gt = _geotransform_from_tags(tags)

@@ -1,0 +1,118 @@
+"""End-to-end detection on a crop of the real Sentinel-2 test scene
+(/root/reference/test_data/2019-05-22), exercising IO, caching, the DB, and
+every pipeline stage — the rebuild of the reference's de-facto integration
+test (executables/main-cloud-detection.cpp)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from satellite_approximation_tpu.models.detection.pipeline import (
+    CloudParams,
+    SkipShadowDetection,
+    detect,
+    detect_single_folder,
+    get_diagonal_distance,
+    get_detection_results,
+)
+from satellite_approximation_tpu.utils.dates import Date
+from satellite_approximation_tpu.utils.db import DataBase
+from satellite_approximation_tpu.utils.geotiff import GeoTIFF, write_geotiff
+
+REF_SCENE = Path("/root/reference/test_data/2019-05-22")
+
+# crop window (rows, cols) — chosen to contain clouds
+R0, R1, C0, C1 = 700, 1050, 300, 750
+
+
+@pytest.fixture(scope="module")
+def crop_scene(tmp_path_factory):
+    base = tmp_path_factory.mktemp("scene")
+    folder = base / "2019-05-22"
+    folder.mkdir()
+    for name in [
+        "B08", "CLP", "CLD", "SCL",
+        "sunZenithAngles", "sunAzimuthAngles", "viewZenithMean", "viewAzimuthMean",
+    ]:
+        t = GeoTIFF.open(REF_SCENE / f"{name}.tif")
+        data = t.read()[R0:R1, C0:C1]
+        write_geotiff(data, folder / f"{name}.tif", template_path=REF_SCENE / "B08.tif")
+    (folder / "B04.tif").touch()  # marks the folder MultiSpectral
+    return folder
+
+
+def crop_diagonal() -> float:
+    t = GeoTIFF.open(REF_SCENE / "B08.tif")
+    west = t.west() + C0 * t.east_west_step()
+    east = t.west() + C1 * t.east_west_step()
+    north = t.north() + R0 * t.north_south_step()
+    south = t.north() + R1 * t.north_south_step()
+    return get_diagonal_distance(west, south, east, north)
+
+
+class TestDetectE2E:
+    def test_full_pipeline_on_crop(self, crop_scene):
+        params = CloudParams.from_root(crop_scene)
+        status = detect(params, crop_diagonal(), use_cache=False)
+        assert status is not None
+        assert status.clouds_computed and status.shadows_computed
+        assert 0.01 < status.percent_clouds < 0.95
+        assert status.percent_shadows is not None
+        assert status.percent_invalid >= status.percent_clouds
+
+        # all four outputs written with geo metadata and mask semantics
+        for path in [
+            params.cloud_path(),
+            params.shadow_potential_path(),
+            params.object_based_shadow_path(),
+            params.shadow_path(),
+        ]:
+            assert path.exists()
+            t = GeoTIFF.open(path)
+            m = t.read()
+            assert m.dtype == np.uint8
+            assert set(np.unique(m)).issubset({0, 1})
+            assert m.shape == (R1 - R0, C1 - C0)
+
+        cloud = GeoTIFF.open(params.cloud_path()).read().astype(bool)
+        final = GeoTIFF.open(params.shadow_path()).read().astype(bool)
+        obj = GeoTIFF.open(params.object_based_shadow_path()).read().astype(bool)
+        assert cloud.mean() == pytest.approx(status.percent_clouds, abs=1e-9)
+        assert final.mean() == pytest.approx(status.percent_shadows, abs=1e-9)
+        assert not (final & cloud).any()  # shadows exclude clouds
+        # the final mask contains the object-based shadows outside clouds
+        assert (obj & ~cloud & ~final).sum() == 0
+
+    def test_cache_short_circuits(self, crop_scene):
+        params = CloudParams.from_root(crop_scene)
+        assert detect(params, crop_diagonal(), use_cache=True) is None
+
+    def test_skip_shadow_detection(self, crop_scene, tmp_path):
+        params = CloudParams.from_root(crop_scene)
+        status = detect(
+            params,
+            crop_diagonal(),
+            SkipShadowDetection(True, 0.0),  # any clouds -> skip shadows
+            use_cache=False,
+        )
+        assert status is not None
+        assert status.clouds_computed and not status.shadows_computed
+        assert status.percent_shadows is None
+
+    def test_detect_single_folder_writes_db(self, crop_scene):
+        # outputs exist from the earlier test -> cached, no DB row expected;
+        # force recompute to land a row
+        status = detect_single_folder(crop_scene, crop_diagonal(), use_cache=False)
+        assert status is not None
+        db = DataBase(crop_scene.parent)
+        s = db.get_status(Date(2019, 5, 22))
+        assert s.clouds_exist and s.shadows_exist
+        db.close()
+
+    def test_get_detection_results_from_disk(self, crop_scene):
+        results = get_detection_results(crop_scene.parent)
+        assert Date(2019, 5, 22) in results
+        st = results[Date(2019, 5, 22)]
+        assert st.clouds_computed and st.shadows_computed
+        assert st.percent_invalid > 0

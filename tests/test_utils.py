@@ -1,0 +1,183 @@
+"""Tests for utils: GeoTIFF IO, status DB, dates, filesystem, imageio, perf."""
+
+import numpy as np
+import pytest
+
+from satellite_approximation_tpu.utils.dates import Date
+from satellite_approximation_tpu.utils.db import (
+    ApproxMethod,
+    DataBase,
+    DayInfo,
+)
+from satellite_approximation_tpu.utils.filesystem import (
+    DirectoryContents,
+    find_directory_contents,
+    multispectral_folders,
+)
+from satellite_approximation_tpu.utils.geotiff import GeoTIFF, write_geotiff
+from satellite_approximation_tpu.utils.imageio import read_image, write_image
+from satellite_approximation_tpu.utils.perf import PerfInfo
+from satellite_approximation_tpu.models.detection.pipeline import Status
+from satellite_approximation_tpu.models.closest import find_good_close_image
+
+REF_SCENE = "/root/reference/test_data/2019-05-22"
+
+
+class TestDate:
+    def test_parse_and_format(self):
+        d = Date.from_string("2019-05-22")
+        assert (d.year, d.month, d.day) == (2019, 5, 22)
+        assert str(d) == "2019-05-22"
+
+    def test_ordering_and_days(self):
+        a, b = Date(2019, 5, 22), Date(2019, 6, 1)
+        assert a < b
+        assert a.days_between(b) == 10
+
+    def test_add_months_clamps(self):
+        assert Date(2019, 1, 31).add_months(1) == Date(2019, 2, 28)
+        assert Date(2019, 3, 15).add_months(-1) == Date(2019, 2, 15)
+        assert Date(2019, 12, 5).add_months(1) == Date(2020, 1, 5)
+
+
+class TestGeoTIFF:
+    def test_read_reference_bands(self):
+        t = GeoTIFF.open(f"{REF_SCENE}/B08.tif")
+        a = t.read()
+        assert a.shape == (1697, 1284)
+        assert a.dtype == np.uint16
+        assert t.north() == pytest.approx(57.105787570770836)
+        assert t.west() == pytest.approx(-111.93141764318219)
+        assert t.south() < t.north()
+        assert t.east() > t.west()
+
+    def test_big_endian_float_read(self):
+        t = GeoTIFF.open(f"{REF_SCENE}/sunZenithAngles.tif")
+        a = t.read()
+        assert 30.0 < a.min() < a.max() < 45.0  # degrees, sane
+
+    def test_template_copy_roundtrip(self, tmp_path):
+        data = (np.arange(100, dtype=np.uint8).reshape(10, 10) % 2).astype(np.uint8)
+        out = tmp_path / "mask.tif"
+        write_geotiff(data, out, template_path=f"{REF_SCENE}/B08.tif")
+        t = GeoTIFF.open(out)
+        np.testing.assert_array_equal(t.read(), data)
+        # geo metadata copied from the template
+        ref = GeoTIFF.open(f"{REF_SCENE}/B08.tif")
+        assert t.geo_transform == pytest.approx(ref.geo_transform)
+
+    def test_index_at_and_midpoint(self):
+        t = GeoTIFF.open(f"{REF_SCENE}/B08.tif")
+        lat, lng = t.mid_point_of_pixel(10, 20)
+        x, y = t.index_at(lat, lng)
+        assert (x, y) == (10, 20)
+
+    def test_value_domains(self):
+        v = np.array([[1.0, 5.0], [-32768.0, 3.0]])
+        assert GeoTIFF.value_domain(v) == (-32768.0, 5.0)
+        assert GeoTIFF.dem_value_domain(v) == (1.0, 5.0)
+
+
+class TestImageio:
+    def test_gamma_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, size=(3, 16, 20)).astype(np.float64) / 255.0
+        decoded = np.power(rgb, 1 / 2.2)
+        p = tmp_path / "x.png"
+        write_image(decoded, p)
+        back = read_image(p)
+        # compare in the linear (encoded) domain: u8 quantization bounds error
+        np.testing.assert_allclose(back ** 2.2, decoded ** 2.2, atol=1.5 / 255)
+
+
+class TestDataBase:
+    def test_detection_status_roundtrip(self, tmp_path):
+        db = DataBase(tmp_path)
+        date = Date(2019, 5, 22)
+        db.write_detection_result(
+            date,
+            Status(
+                percent_clouds=0.2,
+                percent_shadows=0.05,
+                percent_invalid=0.24,
+                clouds_computed=True,
+                shadows_computed=True,
+            ),
+        )
+        status = db.get_status(date)
+        assert status.clouds_exist and status.shadows_exist
+        assert status.percent_invalid == pytest.approx(0.24)
+        # upsert semantics
+        db.write_detection_result(date, Status(percent_invalid=0.5, clouds_computed=True))
+        assert db.get_status(date).percent_invalid == pytest.approx(0.5)
+
+    def test_get_status_missing_row(self, tmp_path):
+        db = DataBase(tmp_path)
+        s = db.get_status(Date(2000, 1, 1))
+        assert not s.clouds_exist and not s.shadows_exist
+
+    def test_approx_results(self, tmp_path):
+        db = DataBase(tmp_path)
+        rid = db.write_approx_results("2019-05-22", "B04", ApproxMethod.Laplace)
+        assert rid >= 1
+        got = db.get_approx_status("2019-05-22", ApproxMethod.Laplace)
+        assert got == {"B04": rid}
+        assert db.get_approx_status("2019-05-22", ApproxMethod.Poisson) == {}
+
+    def test_close_images_and_selection(self, tmp_path):
+        db = DataBase(tmp_path)
+        for day, inv in [(1, 0.5), (10, 0.05), (25, 0.9)]:
+            db.write_detection_result(
+                Date(2019, 5, day),
+                Status(percent_invalid=inv, clouds_computed=True, shadows_computed=True),
+            )
+        db.write_detection_result(
+            Date(2019, 7, 1), Status(percent_invalid=0.01, clouds_computed=True)
+        )
+        close = db.select_close_images(Date(2019, 5, 10))
+        days = {(d.date.month, d.date.day) for d in close}
+        assert (5, 1) in days and (5, 25) in days
+        assert (5, 10) not in days  # excludes itself
+        assert (7, 1) not in days  # outside the month window
+
+    def test_find_good_close_image(self, tmp_path):
+        db = DataBase(tmp_path)
+        db.write_detection_result(Date(2019, 5, 10), Status(percent_invalid=0.5))
+        db.write_detection_result(Date(2019, 5, 12), Status(percent_invalid=0.02))
+        best = find_good_close_image("2019-05-10", 0.0, db)
+        assert best == "2019-05-12"
+        # current date already cleaner -> keep it
+        db.write_detection_result(Date(2019, 6, 1), Status(percent_invalid=0.9))
+        best = find_good_close_image("2019-06-01", 0.0, db)
+        assert best == "2019-06-01" or best == "2019-05-12"
+
+    def test_find_downloaded_dates(self, tmp_path):
+        db = DataBase(tmp_path)
+        db.write_detection_result(Date(2019, 5, 10), Status(clouds_computed=True))
+        rows = db.find_downloaded_dates()
+        assert rows == [(Date(2019, 5, 10), True)]
+
+
+class TestFilesystem:
+    def test_classification(self, tmp_path):
+        ms = tmp_path / "2019-05-22"
+        ms.mkdir()
+        (ms / "B04.tif").touch()
+        radar = tmp_path / "2019-06-01"
+        radar.mkdir()
+        other = tmp_path / "not-a-date"
+        other.mkdir()
+        assert find_directory_contents(ms) == DirectoryContents.MultiSpectral
+        assert find_directory_contents(radar) == DirectoryContents.Radar
+        assert find_directory_contents(other) == DirectoryContents.NoSatelliteData
+        assert multispectral_folders(tmp_path) == [ms]
+
+
+class TestPerfInfo:
+    def test_csv_append(self, tmp_path):
+        p = tmp_path / "perf.csv"
+        PerfInfo(10, 1e-6, 5, 3, 1e-7, 12.5).write(p)
+        PerfInfo(20, 1e-6, 5, 4, 1e-8, 13.5).write(p)
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].split(",")[0] == "10"
