@@ -1,0 +1,152 @@
+"""Headline benchmark: masked Mpix/s filled to 1e-6 residual.
+
+Config #4 analog from BASELINE.md: batched 13-band Poisson-style masked
+fill of a 2048x2048 tile with a synthetic cloud mask, solved by the
+matrix-free CG kernel on the default JAX device (TPU when available).
+``vs_baseline`` is the speedup over the reference-style solver: scipy's
+sparse CG at the same 1e-6 tolerance on the identically assembled system
+(the closest available stand-in for the reference's Eigen CG path,
+poisson.cpp:203-257 — no GPU/TPU, explicit sparse matrix).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+H = W = 2048
+BANDS = 13
+TOL = 1e-6
+
+
+def make_mask(h, w, seed=3):
+    """Synthetic cloud field: union of ellipses, ~8-12% coverage."""
+    r = np.random.default_rng(seed)
+    m = np.zeros((h, w), dtype=bool)
+    yy, xx = np.ogrid[:h, :w]
+    for _ in range(40):
+        cy, cx = r.integers(40, h - 40), r.integers(40, w - 40)
+        ry, rx = r.integers(8, h // 24), r.integers(8, w // 24)
+        m |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
+    return m
+
+
+def smooth(h, w, seed):
+    r = np.random.default_rng(seed)
+    x = r.random((h, w), dtype=np.float32)
+    for _ in range(4):
+        x = 0.25 * (np.roll(x, 1, 0) + np.roll(x, -1, 0) + np.roll(x, 1, 1) + np.roll(x, -1, 1))
+    return x
+
+
+def bench_ours(b, umask, deg, x0):
+    import jax
+    import jax.numpy as jnp
+    from satellite_approximation_tpu.models.cg import _cg_kernel
+
+    bj = jnp.asarray(b, jnp.float32)
+    x0j = jnp.asarray(x0, jnp.float32)
+    umj = jnp.asarray(umask)
+    degj = jnp.asarray(deg, jnp.float32)
+    tol = jnp.asarray(TOL, jnp.float32)
+    max_iters = 20000
+
+    # warmup/compile
+    x, it, err = _cg_kernel(bj, x0j, umj, degj, tol, max_iters)
+    x.block_until_ready()
+
+    t0 = time.perf_counter()
+    x, it, err = _cg_kernel(bj, x0j, umj, degj, tol, max_iters)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    # verify residual actually meets tolerance (f64 check on host)
+    from satellite_approximation_tpu.models.cg import _residual_f64
+
+    r = _residual_f64(np.asarray(b, np.float64), np.asarray(x, np.float64), umask, deg)
+    rel = np.linalg.norm(r.reshape(r.shape[0], -1), axis=1) / np.linalg.norm(
+        (b * umask).reshape(b.shape[0], -1), axis=1
+    )
+    return dt, int(it), float(rel.max())
+
+
+def bench_scipy(b, umask, deg):
+    """Reference-style path: explicit sparse matrix + scipy CG @ 1e-6,
+    sequential per band (the reference solves channels in a loop)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    h, w = umask.shape
+    idx = -np.ones((h, w), dtype=np.int64)
+    ys, xs = np.nonzero(umask)
+    n = len(ys)
+    idx[ys, xs] = np.arange(n)
+
+    rows, cols, vals = [], [], []
+    rows.append(np.arange(n)); cols.append(np.arange(n)); vals.append(deg[ys, xs].astype(np.float64))
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        y2, x2 = ys + dy, xs + dx
+        ok = (y2 >= 0) & (y2 < h) & (x2 >= 0) & (x2 < w)
+        ok &= umask[np.clip(y2, 0, h - 1), np.clip(x2, 0, w - 1)]
+        rows.append(idx[ys[ok], xs[ok]])
+        cols.append(idx[y2[ok], x2[ok]])
+        vals.append(np.full(ok.sum(), -1.0))
+    A = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))), shape=(n, n)
+    )
+
+    t0 = time.perf_counter()
+    for c in range(b.shape[0]):
+        rhs = b[c][ys, xs].astype(np.float64)
+        x, info = spla.cg(A, rhs, rtol=TOL, maxiter=20000)
+    dt = time.perf_counter() - t0
+    return dt
+
+
+def main():
+    umask = make_mask(H, W)
+    deg = np.full((H, W), 4.0, dtype=np.float32)
+    deg[0, :] -= 1; deg[-1, :] -= 1; deg[:, 0] -= 1; deg[:, -1] -= 1
+
+    imgs = np.stack([smooth(H, W, s) for s in range(BANDS)])
+    known = imgs * (~umask)
+    p = np.pad(known, ((0, 0), (1, 1), (1, 1)))
+    b = (
+        p[:, 0:H, 1 : W + 1] + p[:, 2 : H + 2, 1 : W + 1]
+        + p[:, 1 : H + 1, 0:W] + p[:, 1 : H + 1, 2 : W + 2]
+    ) * umask
+    x0 = imgs * umask
+
+    n_masked = int(umask.sum()) * BANDS
+    ours_dt, iters, rel = bench_ours(b, umask, deg, x0)
+    ours_mpix_s = n_masked / ours_dt / 1e6
+
+    # baseline on a subset of bands to keep wall time bounded, scaled up
+    sub = min(3, BANDS)
+    scipy_dt = bench_scipy(b[:sub], umask, deg) * (BANDS / sub)
+    scipy_mpix_s = n_masked / scipy_dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "masked_fill_throughput_13band_2048",
+                "value": round(ours_mpix_s, 3),
+                "unit": "Mpix/s@1e-6",
+                "vs_baseline": round(ours_mpix_s / scipy_mpix_s, 3),
+            }
+        )
+    )
+    print(
+        f"# ours: {ours_dt:.3f}s ({iters} iters, max rel resid {rel:.2e}); "
+        f"scipy-CG baseline: {scipy_dt:.1f}s ({scipy_mpix_s:.2f} Mpix/s)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

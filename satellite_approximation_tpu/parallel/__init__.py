@@ -1,0 +1,20 @@
+"""Multi-chip execution: device meshes, halo exchange, sharded solvers.
+
+The reference is strictly single-process/single-device (one OpenCL context,
+ComputeEnvironment.cpp:9-14). This package is the new capability that takes
+its algorithms to TPU pods: spatial sharding over a ``jax.sharding.Mesh``
+with ICI halo exchange (``ppermute``) for stencils and ``psum`` reductions
+for solver dot products, plus a band axis for data-parallel channels.
+"""
+
+from .mesh import make_mesh, spatial_band_mesh
+from .halo import halo_pad_rows
+from .solver import sharded_masked_cg, sharded_training_step
+
+__all__ = [
+    "make_mesh",
+    "spatial_band_mesh",
+    "halo_pad_rows",
+    "sharded_masked_cg",
+    "sharded_training_step",
+]

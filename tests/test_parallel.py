@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+CG must agree with the single-device solver, and the full sharded training
+step must run under jit with real shardings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from satellite_approximation_tpu.models.cg import neighbor_degree, solve_masked_poisson
+from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+from satellite_approximation_tpu.parallel.solver import (
+    sharded_masked_cg,
+    sharded_training_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return spatial_band_mesh(8)
+
+
+def problem(mesh, c=4, h=64, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    umask = np.zeros((h, w), dtype=bool)
+    umask[10:40, 8:40] = True
+    umask[2, 2:6] = True  # a region near the shard boundary
+    deg = neighbor_degree((h, w))
+    b = (rng.random((c, h, w)) * umask).astype(np.float32)
+    put = lambda x, spec: jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    return (
+        put(b, P("b", "x", None)),
+        put(np.zeros_like(b), P("b", "x", None)),
+        put(umask, P("x", None)),
+        put(deg, P("x", None)),
+        b,
+        umask,
+        deg,
+    )
+
+
+class TestShardedCG:
+    def test_matches_single_device(self, mesh):
+        b_s, x0_s, um_s, deg_s, b, umask, deg = problem(mesh)
+        x, iters, rs = sharded_masked_cg(
+            b_s, x0_s, um_s, deg_s, mesh, tolerance=1e-7, max_iterations=4000
+        )
+        reference = solve_masked_poisson(
+            b.astype(np.float64), umask, deg=deg, tolerance=1e-10, refinement_steps=3,
+            max_iterations=20000,
+        )
+        np.testing.assert_allclose(np.asarray(x), reference.x, atol=5e-5)
+        assert int(iters) > 0
+
+    def test_residual_reported(self, mesh):
+        b_s, x0_s, um_s, deg_s, b, umask, deg = problem(mesh, seed=3)
+        x, iters, rs = sharded_masked_cg(
+            b_s, x0_s, um_s, deg_s, mesh, tolerance=1e-5, max_iterations=4000
+        )
+        bs = (b * b).sum(axis=(-2, -1))
+        assert (np.asarray(rs) <= 1e-10 * bs + 1e-12).all() or (
+            np.asarray(rs) <= (1e-5**2) * bs * 1.01
+        ).all()
+
+
+class TestShardedTrainingStep:
+    def test_runs_and_fills(self, mesh):
+        c = 2 * mesh.shape["b"]
+        h = 16 * mesh.shape["x"]
+        w = 32
+        rng = np.random.default_rng(5)
+        inputs = rng.random((c, h, w)).astype(np.float32)
+        repl = rng.random((c, h, w)).astype(np.float32)
+        umask = np.zeros((h, w), dtype=bool)
+        umask[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = True
+        put = lambda x, spec: jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        step = jax.jit(sharded_training_step(mesh))
+        out, rs = step(
+            put(inputs, P("b", "x", None)),
+            put(repl, P("b", "x", None)),
+            put(umask, P("x", None)),
+        )
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out[:, ~umask], inputs[:, ~umask])
+        assert np.abs(out[:, umask] - inputs[:, umask]).max() > 1e-6
