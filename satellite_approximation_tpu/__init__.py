@@ -21,6 +21,14 @@ A ground-up, TPU-first rebuild of the capabilities of the
 Public API mirrors the reference's pybind11 surface (reference src/main.cpp:16-59).
 """
 
+import jax as _jax
+
+# f64 on-device: the iterative-refinement outer loops compute true residuals
+# in f64 on the accelerator (a handful of emulated-f64 sweeps) instead of
+# shipping hundreds of MB to the host per pass. All kernels pick their
+# dtypes explicitly, so enabling x64 does not change compute-path precision.
+_jax.config.update("jax_enable_x64", True)
+
 from .utils.log import LogLevel, set_log_level, log_location
 from .models.laplace import (
     filling_missing_portions_smooth_boundaries,

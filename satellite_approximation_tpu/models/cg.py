@@ -111,7 +111,7 @@ def _cg_kernel(b, x0, umask, deg, tolerance, max_iterations):
 
 
 def _residual_f64(b64: np.ndarray, x: np.ndarray, umask: np.ndarray, deg: np.ndarray) -> np.ndarray:
-    """True residual b - A(x) in host f64."""
+    """True residual b - A(x) in host f64 (used by tests/verification)."""
     um = umask.astype(np.float64)
     x = x.astype(np.float64) * um
     p = np.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
@@ -124,6 +124,23 @@ def _residual_f64(b64: np.ndarray, x: np.ndarray, umask: np.ndarray, deg: np.nda
     )
     ax = (deg.astype(np.float64) * x - s) * um
     return (b64 - ax) * um
+
+
+@jax.jit
+def _residual64_device(b64, x64, umask, deg):
+    """True residual on-device in f64 — a few emulated-f64 sweeps instead of
+    a multi-hundred-MB host round trip per refinement pass. Returns
+    (r64, ||r||_2 per channel)."""
+    um = umask.astype(jnp.float64)
+    x = x64 * um
+    ax = (deg.astype(jnp.float64) * x - shift_sum(x)) * um
+    r = (b64 * um - ax) * um
+    return r, jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
+
+
+@jax.jit
+def _accumulate64(x64, d32, umask):
+    return x64 + d32.astype(jnp.float64) * umask.astype(jnp.float64)
 
 
 def solve_masked_poisson(
@@ -160,36 +177,45 @@ def solve_masked_poisson(
 
     umask_j = jnp.asarray(umask_np)
     deg_j = jnp.asarray(deg)
-    x64 = (
-        np.zeros_like(b64)
+
+    # device-resident outer loop: only scalar norms cross the host boundary
+    # (with the TPU behind a network tunnel, per-pass array transfers would
+    # dominate the entire solve)
+    b64_j = jnp.asarray(b64)
+    x64_j = (
+        jnp.zeros(b64.shape, jnp.float64)
         if x0 is None
-        else np.asarray(x0, dtype=np.float64).reshape(b64.shape) * umask_np
+        else jnp.asarray(np.asarray(x0, np.float64).reshape(b64.shape) * umask_np)
     )
 
     total_iters = 0
-    rhs = b64 * umask_np
-    target = tolerance * np.linalg.norm(rhs.reshape(rhs.shape[0], -1), axis=1)
+    bnorm = np.linalg.norm((b64 * umask_np).reshape(b64.shape[0], -1), axis=1)
+    target = tolerance * bnorm
 
-    r64 = _residual_f64(b64, x64, umask_np, deg)
+    r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+    rnorm = np.asarray(rnorm_j)
     for step in range(max(refinement_steps, 1)):
-        rnorm = np.linalg.norm(r64.reshape(r64.shape[0], -1), axis=1)
         if np.all(rnorm <= np.maximum(target, 1e-300)):
             break
-        # inner f32 CG on the residual system A d = r
+        # inner f32 CG on the residual system A d = r; the inner tolerance
+        # only needs to cover the *remaining* reduction factor, so later
+        # refinement passes converge in a handful of iterations
+        needed = np.min(target / np.maximum(rnorm, 1e-300))
+        inner_tol = float(np.clip(0.5 * needed, 5e-8, 0.5))
         d, iters, _ = _cg_kernel(
-            jnp.asarray(r64, dtype=dtype),
-            jnp.zeros(r64.shape, dtype=dtype),
+            r64_j.astype(dtype),
+            jnp.zeros(r64_j.shape, dtype=dtype),
             umask_j,
             deg_j,
-            jnp.asarray(tolerance * 0.5, dtype=dtype),
+            jnp.asarray(inner_tol, dtype=dtype),
             max_iterations,
         )
         total_iters += int(iters)
-        x64 = x64 + np.asarray(jax.device_get(d), dtype=np.float64) * umask_np
-        r64 = _residual_f64(b64, x64, umask_np, deg)
+        x64_j = _accumulate64(x64_j, d, umask_j)
+        r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+        rnorm = np.asarray(rnorm_j)
 
-    bnorm = np.linalg.norm(rhs.reshape(rhs.shape[0], -1), axis=1)
-    rnorm = np.linalg.norm(r64.reshape(r64.shape[0], -1), axis=1)
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
+    x64 = np.asarray(x64_j)
     x = x64[0] if squeeze else x64
     return CGResult(x, total_iters, rel)

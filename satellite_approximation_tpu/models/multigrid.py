@@ -1,16 +1,205 @@
 """Mask-aware geometric multigrid for the masked Poisson systems.
 
-Round-1 scaffold: currently delegates to the matrix-free CG kernel (which is
-already fast for the sub-4K tiles in the benchmark configs); the V-cycle
-with mask-aware coarsening lands next (SURVEY.md §7 stage 4). The public
-``solve`` signature is stable so the Laplace/Poisson layers won't change.
+The reference hands every system to a single-level Eigen CG whose iteration
+count grows with the masked-region diameter (poisson.cpp:203-257). For
+full-tile fills (10980^2) that is thousands of iterations; multigrid makes
+the cost O(N) regardless of region size — the decisive step toward the
+<1 s full-tile target (SURVEY.md §7 stage 4).
+
+Design (aggregation-style, fully jittable, static shapes):
+
+* hierarchy: unknown masks coarsen by 2x2 any-pooling, so irregular cloud
+  masks keep their Dirichlet boundary to within O(h) per level;
+* operator on every level is the rediscretized masked 5-point stencil
+  (deg*u - sum of unknown neighbours) — grid-h factors cancel because
+  restriction sums 2x2 residuals while prolongation is piecewise-constant
+  (P = R^T), which also keeps the V-cycle symmetric;
+* smoother: damped Jacobi (w=0.8), same count pre/post → the V-cycle is an
+  SPD preconditioner, wrapped in preconditioned CG;
+* everything runs in f32 on-device inside one jitted while_loop; the outer
+  f64 iterative-refinement loop (shared with models/cg.py) restores
+  f64-grade accuracy.
 """
 
 from __future__ import annotations
 
-import numpy as np
+import functools
 
-from .cg import solve_masked_poisson, CGResult
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .cg import CGResult, _residual_f64, neighbor_degree, shift_sum, masked_laplacian
+
+_OMEGA = 0.8
+_PRE_SMOOTH = 2
+_POST_SMOOTH = 2
+_COARSE_ITERS = 32
+_MIN_SIZE = 24
+
+
+def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
+    """List of (umask, deg) per level, finest first. Coarse unknowns are
+    2x2 any-pools of fine unknowns; degrees are the in-image neighbour
+    counts of the coarse grid (the rediscretized operator)."""
+    levels = [(np.asarray(umask, bool), np.asarray(deg, np.float32))]
+    m = np.asarray(umask, bool)
+    while min(m.shape) > _MIN_SIZE:
+        h, w = m.shape
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        mp = np.zeros((ph, pw), dtype=bool)
+        mp[:h, :w] = m
+        pooled = mp.reshape(ph // 2, 2, pw // 2, 2).any(axis=(1, 3))
+        if pooled.all():
+            # any-pooling would swallow every known cell: the rediscretized
+            # operator would lose its Dirichlet anchoring and turn singular
+            # (pure-Neumann graph Laplacian). Stop the hierarchy here.
+            break
+        m = pooled
+        d = neighbor_degree(m.shape)
+        levels.append((m, d))
+    return levels
+
+
+def _smooth(u, b, um, deg, sweeps):
+    """Damped Jacobi restricted to unknowns."""
+    inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
+
+    def body(_, u):
+        au = masked_laplacian(u, um, deg)
+        return u + _OMEGA * (b - au) * inv_deg * um
+
+    return lax.fori_loop(0, sweeps, body, u)
+
+
+def _prolong_axis(e, axis):
+    """Cell-centred bilinear interpolation along one axis (factor 2):
+    f[2i] = .75 e[i] + .25 e[i-1]; f[2i+1] = .75 e[i] + .25 e[i+1]
+    (zero beyond the ends — masks kill the boundary error anyway)."""
+    e = jnp.moveaxis(e, axis, -1)
+    left = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(1, 0)])[..., :-1]
+    right = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(0, 1)])[..., 1:]
+    even = 0.75 * e + 0.25 * left
+    odd = 0.75 * e + 0.25 * right
+    out = jnp.stack([even, odd], axis=-1).reshape(*e.shape[:-1], 2 * e.shape[-1])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _restrict_axis(r, axis):
+    """Exact transpose of :func:`_prolong_axis` (full weighting x2):
+    r_c[i] = .25 r[2i-1] + .75 r[2i] + .75 r[2i+1] + .25 r[2i+2]."""
+    r = jnp.moveaxis(r, axis, -1)
+    n = r.shape[-1]
+    pad = [(0, 0)] * (r.ndim - 1) + [(1, 2)]
+    rp = jnp.pad(r, pad)  # rp[k] = r[k-1]
+    c = n // 2
+    idx = 1 + 2 * jnp.arange(c)
+    out = (
+        0.25 * rp[..., idx - 1]
+        + 0.75 * rp[..., idx]
+        + 0.75 * rp[..., idx + 1]
+        + 0.25 * rp[..., idx + 2]
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _restrict(r):
+    """R = P^T: separable full weighting to the 2x-coarser grid, after
+    padding odd sizes up to even."""
+    h, w = r.shape[-2], r.shape[-1]
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    pad = [(0, 0)] * (r.ndim - 2) + [(0, ph - h), (0, pw - w)]
+    rp = jnp.pad(r, pad)
+    return _restrict_axis(_restrict_axis(rp, -1), -2)
+
+
+def _prolong(e, fine_shape):
+    """Separable bilinear interpolation back to the fine grid."""
+    up = _prolong_axis(_prolong_axis(e, -2), -1)
+    return up[..., : fine_shape[-2], : fine_shape[-1]]
+
+
+def _v_cycle(levels_j, b, u, lvl):
+    um, deg = levels_j[lvl]
+    if lvl == len(levels_j) - 1:
+        # coarsest: a fixed budget of plain CG iterations
+        r = (b - masked_laplacian(u, um, deg)) * um
+
+        def body(_, state):
+            x, r, p, rs = state
+            ap = masked_laplacian(p, um, deg)
+            pap = jnp.sum(p * ap, axis=(-2, -1))
+            alpha = jnp.where(pap > 0, rs / jnp.where(pap > 0, pap, 1.0), 0.0)
+            a = alpha[..., None, None]
+            x = x + a * p
+            r = r - a * ap
+            rs_new = jnp.sum(r * r, axis=(-2, -1))
+            beta = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
+            p = r + beta[..., None, None] * p
+            return x, r, p, rs_new
+
+        rs = jnp.sum(r * r, axis=(-2, -1))
+        u, _, _, _ = lax.fori_loop(0, _COARSE_ITERS, body, (u, r, r, rs))
+        return u
+
+    u = _smooth(u, b, um, deg, _PRE_SMOOTH)
+    r = (b - masked_laplacian(u, um, deg)) * um
+    um_c, _ = levels_j[lvl + 1]
+    r_c = _restrict(r) * um_c.astype(r.dtype)
+    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1)
+    u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
+    u = _smooth(u, b, um, deg, _POST_SMOOTH)
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _pcg_run(b, x0, tol, levels_j, max_iterations):
+    """MG-preconditioned CG over (..., H, W) batches. ``levels_j`` is a
+    pytree of (umask, deg) per level, passed as traced arguments so the
+    compilation caches on *shapes* — new cloud masks reuse the executable."""
+    um0, deg0 = levels_j[0]
+
+    def dots(a, b):
+        return jnp.sum(a * b, axis=(-2, -1))
+
+    def run(b, x0, tol):
+        umf = um0.astype(b.dtype)
+        b = b * umf
+        x = x0 * umf
+        r = (b - masked_laplacian(x, um0, deg0)) * umf
+        z = _v_cycle(levels_j, r, jnp.zeros_like(r), 0)
+        p = z
+        rz = dots(r, z)
+        bs = dots(b, b)
+        threshold = jnp.maximum(tol * tol * bs, jnp.finfo(b.dtype).tiny)
+
+        def cond(state):
+            _, r, _, _, _, it = state
+            rr = dots(r, r)
+            return jnp.logical_and(jnp.any(rr > threshold), it < max_iterations)
+
+        def body(state):
+            x, r, p, z, rz, it = state
+            ap = masked_laplacian(p, um0, deg0)
+            pap = dots(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+            a = alpha[..., None, None]
+            x = x + a * p
+            r_new = r - a * ap
+            z_new = _v_cycle(levels_j, r_new, jnp.zeros_like(r_new), 0)
+            # flexible (Polak–Ribière) beta: robust to the slightly
+            # nonlinear preconditioner (coarse-level CG)
+            rz_new = dots(r_new, z_new)
+            beta_num = rz_new - dots(r, z_new)
+            beta = jnp.where(rz > 0, beta_num / jnp.where(rz > 0, rz, 1.0), 0.0)
+            p = z_new + beta[..., None, None] * p
+            return x, r_new, p, z_new, rz_new, it + 1
+
+        x, r, p, z, rz, it = lax.while_loop(cond, body, (x, r, p, z, rz, jnp.int32(0)))
+        return x, it, dots(r, r) / jnp.maximum(bs, jnp.finfo(b.dtype).tiny)
+
+    return run(b, x0, tol)
 
 
 def solve(
@@ -20,14 +209,59 @@ def solve(
     x0: np.ndarray | None = None,
     tolerance: float = 1e-6,
     refinement_steps: int = 2,
+    max_iterations: int = 200,
 ) -> CGResult:
-    n = int(np.asarray(umask).sum())
-    return solve_masked_poisson(
-        b,
-        umask,
-        x0=x0,
-        deg=deg,
-        tolerance=min(tolerance, 1e-6),
-        max_iterations=4 * n + 64,
-        refinement_steps=refinement_steps,
+    """MG-preconditioned CG solve + f64 refinement. Same contract as
+    models.cg.solve_masked_poisson."""
+    b64 = np.asarray(b, dtype=np.float64)
+    squeeze = b64.ndim == 2
+    if squeeze:
+        b64 = b64[None]
+    umask_np = np.asarray(umask, bool)
+    if deg is None:
+        deg = neighbor_degree(umask_np.shape)
+    deg = np.asarray(deg, np.float32)
+    # note: the hierarchy rediscretizes with full in-image degrees; a custom
+    # fine-level deg only affects the fine operator
+    levels = build_hierarchy(umask_np, deg)
+    levels = [(levels[0][0], deg)] + levels[1:]
+    levels_j = tuple((jnp.asarray(m), jnp.asarray(d)) for m, d in levels)
+
+    def solver(bb, xx0, tol):
+        return _pcg_run(bb, xx0, tol, levels_j, max_iterations=max_iterations)
+
+    from .cg import _residual64_device, _accumulate64
+
+    umask_j = levels_j[0][0]
+    deg_j = jnp.asarray(deg)
+    b64_j = jnp.asarray(b64)
+    x64_j = (
+        jnp.zeros(b64.shape, jnp.float64)
+        if x0 is None
+        else jnp.asarray(np.asarray(x0, np.float64).reshape(b64.shape) * umask_np)
     )
+    bnorm = np.linalg.norm((b64 * umask_np).reshape(b64.shape[0], -1), axis=1)
+    target = tolerance * bnorm
+
+    total_iters = 0
+    r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+    rnorm = np.asarray(rnorm_j)
+    for _ in range(max(refinement_steps, 1)):
+        if np.all(rnorm <= np.maximum(target, 1e-300)):
+            break
+        needed = np.min(target / np.maximum(rnorm, 1e-300))
+        inner_tol = float(np.clip(0.5 * needed, 5e-8, 0.5))
+        d, iters, _ = solver(
+            r64_j.astype(jnp.float32),
+            jnp.zeros(r64_j.shape, jnp.float32),
+            jnp.asarray(inner_tol, jnp.float32),
+        )
+        total_iters += int(iters)
+        x64_j = _accumulate64(x64_j, d, umask_j)
+        r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+        rnorm = np.asarray(rnorm_j)
+
+    rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
+    x64 = np.asarray(x64_j)
+    x = x64[0] if squeeze else x64
+    return CGResult(x, total_iters, rel)

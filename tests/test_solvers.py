@@ -170,3 +170,54 @@ class TestPoisson:
         line = path.read_text().strip().split(",")
         assert int(line[0]) == int(mask.sum())
         assert float(line[1]) == 1e-6
+
+
+class TestMultigrid:
+    def test_matches_cg(self):
+        from satellite_approximation_tpu.models import multigrid
+        from satellite_approximation_tpu.models.cg import solve_masked_poisson
+
+        h = w = 96
+        umask = np.zeros((h, w), bool)
+        umask[10:86, 12:80] = True
+        umask[40:46, :12] = False
+        img = np.stack([smooth_image(h, w, seed=s) for s in range(3)])
+        known = img * (~umask)
+        p = np.pad(known, ((0, 0), (1, 1), (1, 1)))
+        b = (
+            p[:, 0:h, 1 : w + 1] + p[:, 2 : h + 2, 1 : w + 1]
+            + p[:, 1 : h + 1, 0:w] + p[:, 1 : h + 1, 2 : w + 2]
+        ) * umask
+        mg = multigrid.solve(b, umask, tolerance=1e-8, refinement_steps=3)
+        cg = solve_masked_poisson(
+            b, umask, tolerance=1e-9, refinement_steps=3, max_iterations=50000
+        )
+        assert mg.error < 1e-8
+        np.testing.assert_allclose(mg.x, cg.x, atol=1e-6)
+
+    def test_far_fewer_iterations_than_cg(self):
+        from satellite_approximation_tpu.models import multigrid
+        from satellite_approximation_tpu.models.cg import solve_masked_poisson
+
+        h = w = 128
+        umask = np.zeros((h, w), bool)
+        umask[4:124, 4:124] = True  # large region: CG needs O(diameter) iters
+        b = (np.random.default_rng(0).random((1, h, w)) * umask).astype(np.float64)
+        mg = multigrid.solve(b, umask, tolerance=1e-6, refinement_steps=2)
+        cg = solve_masked_poisson(
+            b, umask, tolerance=1e-6, refinement_steps=2, max_iterations=50000
+        )
+        assert mg.error < 1e-6
+        assert mg.iterations < cg.iterations / 4
+
+    def test_hierarchy_shapes(self):
+        from satellite_approximation_tpu.models.multigrid import build_hierarchy
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        m = np.zeros((100, 140), bool)
+        m[10:90, 10:120] = True
+        levels = build_hierarchy(m, neighbor_degree((100, 140)))
+        assert levels[0][0].shape == (100, 140)
+        assert levels[1][0].shape == (50, 70)
+        # any-pooling: coarse mask covers the fine mask footprint
+        assert levels[1][0][5:45, 5:60].all()
