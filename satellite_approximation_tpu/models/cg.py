@@ -152,6 +152,7 @@ def solve_masked_poisson(
     max_iterations: int | None = None,
     refinement_steps: int = 2,
     dtype=jnp.float32,
+    device_output: bool = False,
 ) -> CGResult:
     """Solve A u = b over the unknown set ``umask`` with CG + f64 refinement.
 
@@ -159,37 +160,37 @@ def solve_masked_poisson(
     ``max_iterations`` defaults to n_unknowns/2, the reference's Poisson
     default (poisson.cpp:207); pass a larger cap for machine-precision fills.
     """
-    b64 = np.asarray(b, dtype=np.float64)
-    squeeze = b64.ndim == 2
+    # accept host or device arrays; device inputs never round-trip the host
+    # (with the TPU behind a network tunnel, array transfers would dominate)
+    b64_j = jnp.asarray(b, dtype=jnp.float64)
+    squeeze = b64_j.ndim == 2
     if squeeze:
-        b64 = b64[None]
+        b64_j = b64_j[None]
     umask_np = np.asarray(umask, dtype=bool)
     h, w = umask_np.shape
     if deg is None:
         deg = neighbor_degree((h, w))
-    deg = np.asarray(deg, dtype=np.float32)
     n_unknowns = int(umask_np.sum())
     if max_iterations is None:
         max_iterations = max(n_unknowns // 2, 1)
     if n_unknowns == 0:
-        x = np.zeros_like(b64)
+        x = np.zeros(b64_j.shape)
         return CGResult(x[0] if squeeze else x, 0, 0.0)
 
     umask_j = jnp.asarray(umask_np)
-    deg_j = jnp.asarray(deg)
+    deg_j = jnp.asarray(deg, dtype=jnp.float32)
 
-    # device-resident outer loop: only scalar norms cross the host boundary
-    # (with the TPU behind a network tunnel, per-pass array transfers would
-    # dominate the entire solve)
-    b64_j = jnp.asarray(b64)
+    umf = umask_j.astype(jnp.float64)
     x64_j = (
-        jnp.zeros(b64.shape, jnp.float64)
+        jnp.zeros(b64_j.shape, jnp.float64)
         if x0 is None
-        else jnp.asarray(np.asarray(x0, np.float64).reshape(b64.shape) * umask_np)
+        else jnp.asarray(x0, dtype=jnp.float64).reshape(b64_j.shape) * umf
     )
 
     total_iters = 0
-    bnorm = np.linalg.norm((b64 * umask_np).reshape(b64.shape[0], -1), axis=1)
+    bnorm = np.asarray(
+        jnp.linalg.norm((b64_j * umf).reshape(b64_j.shape[0], -1), axis=1)
+    )
     target = tolerance * bnorm
 
     r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
@@ -216,6 +217,11 @@ def solve_masked_poisson(
         rnorm = np.asarray(rnorm_j)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
+    if device_output:
+        # skip the D2H fetch (slow on tunneled-TPU setups); caller gets a
+        # device array
+        x = x64_j[0] if squeeze else x64_j
+        return CGResult(x, total_iters, rel)
     x64 = np.asarray(x64_j)
     x = x64[0] if squeeze else x64
     return CGResult(x, total_iters, rel)

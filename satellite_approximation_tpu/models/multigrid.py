@@ -94,12 +94,13 @@ def _restrict_axis(r, axis):
     pad = [(0, 0)] * (r.ndim - 1) + [(1, 2)]
     rp = jnp.pad(r, pad)  # rp[k] = r[k-1]
     c = n // 2
-    idx = 1 + 2 * jnp.arange(c)
+    # strided slices (NOT index arrays — those lower to TPU gathers):
+    # out[i] = .25 rp[2i] + .75 rp[2i+1] + .75 rp[2i+2] + .25 rp[2i+3]
     out = (
-        0.25 * rp[..., idx - 1]
-        + 0.75 * rp[..., idx]
-        + 0.75 * rp[..., idx + 1]
-        + 0.25 * rp[..., idx + 2]
+        0.25 * rp[..., 0 : 2 * c : 2]
+        + 0.75 * rp[..., 1 : 2 * c + 1 : 2]
+        + 0.75 * rp[..., 2 : 2 * c + 2 : 2]
+        + 0.25 * rp[..., 3 : 2 * c + 3 : 2]
     )
     return jnp.moveaxis(out, -1, axis)
 
@@ -210,13 +211,14 @@ def solve(
     tolerance: float = 1e-6,
     refinement_steps: int = 2,
     max_iterations: int = 200,
+    device_output: bool = False,
 ) -> CGResult:
     """MG-preconditioned CG solve + f64 refinement. Same contract as
     models.cg.solve_masked_poisson."""
-    b64 = np.asarray(b, dtype=np.float64)
-    squeeze = b64.ndim == 2
+    b64_j = jnp.asarray(b, dtype=jnp.float64)
+    squeeze = b64_j.ndim == 2
     if squeeze:
-        b64 = b64[None]
+        b64_j = b64_j[None]
     umask_np = np.asarray(umask, bool)
     if deg is None:
         deg = neighbor_degree(umask_np.shape)
@@ -234,13 +236,15 @@ def solve(
 
     umask_j = levels_j[0][0]
     deg_j = jnp.asarray(deg)
-    b64_j = jnp.asarray(b64)
+    umf = umask_j.astype(jnp.float64)
     x64_j = (
-        jnp.zeros(b64.shape, jnp.float64)
+        jnp.zeros(b64_j.shape, jnp.float64)
         if x0 is None
-        else jnp.asarray(np.asarray(x0, np.float64).reshape(b64.shape) * umask_np)
+        else jnp.asarray(x0, dtype=jnp.float64).reshape(b64_j.shape) * umf
     )
-    bnorm = np.linalg.norm((b64 * umask_np).reshape(b64.shape[0], -1), axis=1)
+    bnorm = np.asarray(
+        jnp.linalg.norm((b64_j * umf).reshape(b64_j.shape[0], -1), axis=1)
+    )
     target = tolerance * bnorm
 
     total_iters = 0
@@ -262,6 +266,11 @@ def solve(
         rnorm = np.asarray(rnorm_j)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
+    if device_output:
+        # skip the D2H fetch (slow on tunneled-TPU setups); caller gets a
+        # device array
+        x = x64_j[0] if squeeze else x64_j
+        return CGResult(x, total_iters, rel)
     x64 = np.asarray(x64_j)
     x = x64[0] if squeeze else x64
     return CGResult(x, total_iters, rel)
