@@ -298,6 +298,12 @@ def _probability_map_element(
     )
 
     # sequential hole fill: list built scanning i (x) outer, j inner (:152-158)
+    from ...native import hole_fill as native_hole_fill
+
+    filled = native_hole_fill(grid, valid)
+    if filled is not None:
+        return UniformProbabilitySurface(filled[0])
+
     empty = [(ii, jj) for ii in range(d) for jj in range(d) if not valid[jj, ii]]
     val = valid.copy()
     while empty:

@@ -1,0 +1,153 @@
+// Native runtime helpers for satellite_approximation_tpu.
+//
+// The reference implementation is C++ end-to-end; here native code backs the
+// host-side (non-TPU) hot paths that don't map onto XLA:
+//  * hole_fill      — the sequential inverse-distance diffusion that fills
+//                     empty probability-histogram cells with the reference's
+//                     exact in-round update order
+//                     (ProbabilityRefinement.cpp:152-183);
+//  * flood_partition— BFS flood-fill region partitioning in the reference's
+//                     bottom-left column-major discovery order
+//                     (ImageOperations.cpp:52-109; CloudMask.cpp:63-108);
+//  * border_mask    — border extraction of a pixel blob
+//                     (Functions::border, Functions.cpp:126-149).
+//
+// Exposed with a plain C ABI and loaded via ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstring>
+#include <utility>
+#include <vector>
+
+extern "C" {
+
+// grid: d*d floats indexed [j*d + i]; valid: d*d uint8 flags (mutated).
+void hole_fill(float* grid, uint8_t* valid, int32_t d)
+{
+    std::vector<std::pair<int, int>> empty;
+    empty.reserve(size_t(d) * d);
+    for (int i = 0; i < d; i++)
+        for (int j = 0; j < d; j++)
+            if (!valid[j * d + i])
+                empty.emplace_back(i, j);
+
+    std::vector<std::pair<int, int>> remaining;
+    while (!empty.empty()) {
+        bool progressed = false;
+        remaining.clear();
+        for (auto [i, j] : empty) {
+            float accum = 0.f;
+            float weight = 0.f;
+            bool found = false;
+            for (int di = -1; di <= 1; di++) {
+                for (int dj = -1; dj <= 1; dj++) {
+                    if (di == 0 && dj == 0)
+                        continue;
+                    int ni = i + di;
+                    int nj = j + dj;
+                    if (ni < 0 || ni >= d || nj < 0 || nj >= d)
+                        continue;
+                    if (valid[nj * d + ni]) {
+                        found = true;
+                        float w = 1.f / float(di * di + dj * dj);
+                        accum += grid[nj * d + ni] * w;
+                        weight += w;
+                    }
+                }
+            }
+            if (found) {
+                // visible to later cells within the same round — matches the
+                // reference's list iteration with in-place erase
+                valid[j * d + i] = 1;
+                grid[j * d + i] = accum / weight;
+                progressed = true;
+            } else {
+                remaining.emplace_back(i, j);
+            }
+        }
+        if (!progressed)
+            break; // no samples anywhere: nothing to diffuse from
+        empty.swap(remaining);
+    }
+}
+
+// mask: h*w uint8 (row-major, top-left origin). labels out: h*w int32, -1
+// background. Returns the number of regions with area >= min_area; ids are
+// assigned in bottom-left column-major first-encounter order.
+int32_t flood_partition(
+    const uint8_t* mask, int32_t h, int32_t w, int32_t min_area, int32_t* labels)
+{
+    const size_t n = size_t(h) * w;
+    std::fill(labels, labels + n, -1);
+    std::vector<uint8_t> used(n, 0);
+    std::vector<int32_t> stack;
+    std::vector<int32_t> comp;
+    int32_t next_id = 0;
+
+    for (int32_t i = 0; i < w; i++) {
+        for (int32_t jj = 0; jj < h; jj++) {
+            int32_t r = h - 1 - jj; // scan bottom row first (reference order)
+            int32_t p = r * w + i;
+            if (!mask[p] || used[p])
+                continue;
+            comp.clear();
+            stack.clear();
+            stack.push_back(p);
+            used[p] = 1;
+            while (!stack.empty()) {
+                int32_t q = stack.back();
+                stack.pop_back();
+                comp.push_back(q);
+                int32_t qr = q / w;
+                int32_t qc = q % w;
+                for (int32_t dr = -1; dr <= 1; dr++) {
+                    for (int32_t dc = -1; dc <= 1; dc++) {
+                        if (dr == 0 && dc == 0)
+                            continue;
+                        int32_t nr = qr + dr;
+                        int32_t nc = qc + dc;
+                        if (nr < 0 || nr >= h || nc < 0 || nc >= w)
+                            continue;
+                        int32_t np = nr * w + nc;
+                        if (mask[np] && !used[np]) {
+                            used[np] = 1;
+                            stack.push_back(np);
+                        }
+                    }
+                }
+            }
+            if (int32_t(comp.size()) >= min_area) {
+                for (int32_t q : comp)
+                    labels[q] = next_id;
+                next_id++;
+            }
+        }
+    }
+    return next_id;
+}
+
+// mask: h*w uint8 over a region bbox; border out: h*w uint8. A set pixel is
+// border when a 4-neighbour (clamped inside the bbox) is unset or it lies on
+// the bbox edge.
+void border_mask(const uint8_t* mask, int32_t h, int32_t w, uint8_t* border)
+{
+    for (int32_t r = 0; r < h; r++) {
+        for (int32_t c = 0; c < w; c++) {
+            int32_t p = r * w + c;
+            if (!mask[p]) {
+                border[p] = 0;
+                continue;
+            }
+            auto at = [&](int32_t rr, int32_t cc) {
+                rr = rr < 0 ? 0 : (rr >= h ? h - 1 : rr);
+                cc = cc < 0 ? 0 : (cc >= w ? w - 1 : cc);
+                return mask[rr * w + cc];
+            };
+            bool edge = r == 0 || r == h - 1 || c == 0 || c == w - 1;
+            bool interior = at(r - 1, c) && at(r + 1, c) && at(r, c - 1) && at(r, c + 1);
+            border[p] = (edge || !interior) ? 1 : 0;
+        }
+    }
+}
+
+} // extern "C"

@@ -1,0 +1,90 @@
+"""Native C++ helpers vs their pure-Python counterparts."""
+
+import numpy as np
+import pytest
+
+from satellite_approximation_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
+
+
+def python_hole_fill(grid, valid):
+    d = grid.shape[0]
+    grid = grid.copy()
+    val = valid.copy()
+    empty = [(i, j) for i in range(d) for j in range(d) if not val[j, i]]
+    while empty:
+        progressed = False
+        remaining = []
+        for (i, j) in empty:
+            accum = weight = 0.0
+            found = False
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    ni, nj = i + di, j + dj
+                    if 0 <= ni < d and 0 <= nj < d and val[nj, ni]:
+                        found = True
+                        w = 1.0 / (di * di + dj * dj)
+                        accum += float(grid[nj, ni]) * w
+                        weight += w
+            if found:
+                val[j, i] = True
+                grid[j, i] = np.float32(accum / weight)
+                progressed = True
+            else:
+                remaining.append((i, j))
+        if not progressed:
+            break
+        empty = remaining
+    return grid, val
+
+
+class TestHoleFill:
+    def test_matches_python(self):
+        rng = np.random.default_rng(0)
+        d = 16
+        grid = rng.random((d, d)).astype(np.float32)
+        valid = rng.random((d, d)) > 0.6
+        grid[~valid.T.T] = 0  # zero holes like the histogram builder does
+        g_py, v_py = python_hole_fill(grid, valid)
+        g_c, v_c = native.hole_fill(grid, valid)
+        np.testing.assert_array_equal(v_c, v_py)
+        np.testing.assert_allclose(g_c, g_py, atol=2e-6)
+
+    def test_empty_grid_terminates(self):
+        grid = np.zeros((8, 8), np.float32)
+        valid = np.zeros((8, 8), bool)
+        g, v = native.hole_fill(grid, valid)
+        assert not v.any()
+
+
+class TestFloodPartition:
+    def test_matches_partition_regions(self):
+        from satellite_approximation_tpu.ops.components import partition_regions
+
+        rng = np.random.default_rng(1)
+        mask = rng.random((48, 64)) > 0.7
+        labels_c, n_c = native.flood_partition(mask, 3)
+        id_map, regions = partition_regions(mask, min_area=3)
+        assert n_c == len(regions)
+        np.testing.assert_array_equal(labels_c, id_map)
+
+    def test_min_area(self):
+        mask = np.zeros((8, 8), bool)
+        mask[1, 1] = True
+        mask[4:6, 4:6] = True
+        labels, n = native.flood_partition(mask, 2)
+        assert n == 1
+        assert labels[1, 1] == -1
+        assert labels[4, 4] == 0
+
+
+class TestBorderMask:
+    def test_matches_python(self):
+        from satellite_approximation_tpu.models.detection.refinement import _border_mask
+
+        rng = np.random.default_rng(2)
+        mask = rng.random((20, 25)) > 0.4
+        np.testing.assert_array_equal(native.border_mask(mask), _border_mask(mask))
