@@ -176,3 +176,82 @@ def ls_point_equal_to(
     b4 = np.concatenate([b3, [z]])
     sol = np.linalg.solve(m4, b4)
     return sol[:3]
+
+
+def _ls_system(grid: np.ndarray, shape_hw: tuple[int, int], diagonal: float):
+    """(M3, b3, positions, directions, valid) of the least-squares ray system
+    (VectorGridOperations __getLSSystem__, :44-71)."""
+    h, w = shape_hw
+    d = np.asarray(grid, dtype=np.float64)
+    dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = np.arange(h)[:, None] * np.ones((1, w))
+    cols = np.ones((h, 1)) * np.arange(w)[None, :]
+    a = pixel_to_world(shape_hw, diagonal, cols, h - 1 - rows)
+    valid = np.isfinite(dn).all(axis=-1) & np.isfinite(a).all(axis=-1)
+    dn = np.where(valid[..., None], dn, 0.0)
+    a = np.where(valid[..., None], a, 0.0)
+    n = float(valid.sum())
+    da = np.sum(dn * a, axis=-1, keepdims=True)
+    b3 = -(a - dn * da).sum(axis=(0, 1))
+    m3 = np.einsum("hwi,hwj->ij", dn, dn) - n * np.eye(3)
+    return m3, b3, a, dn, valid
+
+
+def ls_point(grid: np.ndarray, shape_hw: tuple[int, int], diagonal: float) -> np.ndarray:
+    """Unconstrained least-squares point nearest all pixel rays
+    (VectorGridOperations::LSPoint, :74-78)."""
+    m3, b3, *_ = _ls_system(grid, shape_hw, diagonal)
+    return np.linalg.solve(m3, b3)
+
+
+def sum_of_square_distance(
+    grid: np.ndarray, shape_hw: tuple[int, int], diagonal: float, p: np.ndarray
+) -> float:
+    """Sum over pixels of squared distance from ``p`` to each pixel ray
+    (VectorGridOperations::SumOfSquareDistance, :26-41)."""
+    _, _, a, dn, valid = _ls_system(grid, shape_hw, diagonal)
+    v = p[None, None, :] - a
+    proj = v - dn * np.sum(dn * v, axis=-1, keepdims=True)
+    return float((np.sum(proj * proj, axis=-1) * valid).sum())
+
+
+def _ls_point_bounded(grid, shape_hw, diagonal, z_bound, keep_unbounded):
+    m3, b3, *_ = _ls_system(grid, shape_hw, diagonal)
+    p3 = np.linalg.solve(m3, b3)
+    m4 = np.zeros((4, 4)); m4[:3, :3] = m3; m4[2, 3] = 0.5; m4[3, 2] = 1.0
+    p4 = np.linalg.solve(m4, np.concatenate([b3, [z_bound]]))
+    unbounded_ok = np.isfinite(p3).all() and keep_unbounded(p3[2])
+    bounded_ok = np.isfinite(p4).all()
+    if unbounded_ok and bounded_ok:
+        if sum_of_square_distance(grid, shape_hw, diagonal, p3) <= sum_of_square_distance(
+            grid, shape_hw, diagonal, p4[:3]
+        ):
+            return p3
+        return p4[:3]
+    return p3 if unbounded_ok else p4[:3]
+
+
+def ls_point_greater_than(grid, shape_hw, diagonal, min_z) -> np.ndarray:
+    """Constrained LS point with z >= min_z (VectorGridOperations::LSPointGreaterThan)."""
+    return _ls_point_bounded(grid, shape_hw, diagonal, min_z, lambda z: z >= min_z)
+
+
+def ls_point_less_than(grid, shape_hw, diagonal, max_z) -> np.ndarray:
+    """Constrained LS point with z <= max_z (VectorGridOperations::LSPointLessThan)."""
+    return _ls_point_bounded(grid, shape_hw, diagonal, max_z, lambda z: z <= max_z)
+
+
+def average_dot_product(grid, shape_hw, diagonal, pos) -> float:
+    """Mean alignment of pixel rays with directions toward ``pos``
+    (VectorGridOperations::AverageDotProduct, :140-158)."""
+    _, _, a, dn, valid = _ls_system(grid, shape_hw, diagonal)
+    to_pos = pos[None, None, :] - a
+    to_pos = to_pos / np.maximum(np.linalg.norm(to_pos, axis=-1, keepdims=True), 1e-300)
+    dots = np.sum(dn * to_pos, axis=-1)
+    return float(dots[valid].mean())
+
+
+def average_direction(grid: np.ndarray) -> np.ndarray:
+    """Normalized mean direction (VectorGridOperations::AverageDirection, :160)."""
+    m = np.asarray(grid, dtype=np.float64).mean(axis=(0, 1))
+    return m / np.linalg.norm(m)

@@ -123,8 +123,9 @@ class DataBase:
 
     # ----- detection side (cloud_shadow_detection/db.cpp:13-85) -----
 
-    def write_detection_result(self, date: Date, status) -> None:
+    def write_detection_result(self, date: Date | str, status) -> None:
         """Upsert a detection Status (cloud_shadow_detection/db.cpp:38-69)."""
+        date = Date.from_string(date) if isinstance(date, str) else date
         self._conn.execute(
             _UPSERT_SQL,
             (
