@@ -19,6 +19,7 @@ surfaces match bit-for-bit where the reference is well-defined.
 from __future__ import annotations
 
 import numpy as np
+from scipy import ndimage
 
 from ...config import RefinementConfig
 from ...ops import geometry
@@ -121,11 +122,18 @@ def beta_map(
         if cw > 0 and ch > 0:
             in_shadow[oy0 : oy0 + ch, ox0 : ox0 + cw] = bbox[sy0 : sy0 + ch, sx0 : sx0 + cw]
 
-        # distance to the nearest border pixel (exact, brute force over the
-        # border list — the reference's O(area x border) loop, vectorized)
-        dx = gx[..., None] - border_x[None, None, :]
-        dy = gy[..., None] - border_y[None, None, :]
-        dist = np.sqrt((dx * dx + dy * dy).min(axis=-1).astype(np.float32))
+        # distance to the nearest border pixel: exact Euclidean distance
+        # transform over the influence window (equivalent to the reference's
+        # O(area x border) nearest-border scan, ProbabilityRefinement.cpp:75-82,
+        # but linear time). Shadow pixels are defined as distance 0.
+        border_grid = np.ones(gx.shape, dtype=bool)
+        bx_in = border_x - ib_x0
+        by_in = border_y - ib_y0
+        keep = (
+            (bx_in >= 0) & (bx_in < gx.shape[1]) & (by_in >= 0) & (by_in < gx.shape[0])
+        )
+        border_grid[by_in[keep], bx_in[keep]] = False
+        dist = ndimage.distance_transform_edt(border_grid).astype(np.float32)
         dist = np.where(in_shadow, np.float32(0.0), dist)
 
         within = dist <= inf_f
@@ -166,6 +174,12 @@ class UniformProbabilitySurface:
     # --- vectorized .at(i, j) with boundary interpolation ---
 
     def at(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        # the branch cascade evaluates every branch on every element;
+        # irrelevant branches may divide by zero before being discarded
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self._at(i, j)
+
+    def _at(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
         s = self.data
         hgt, wdt = s.shape
         i = np.asarray(i, dtype=np.int64)

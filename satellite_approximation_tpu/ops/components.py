@@ -71,6 +71,35 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarra
     return labels
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _region_stats(labels, h: int, w: int):
+    """Per-region bbox/area/scan-key via segment reductions. ``labels`` is a
+    traced argument so one executable serves every mask of a given shape."""
+    n = h * w
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones((h, 1), jnp.int32)
+    seg = labels.ravel()
+    big = jnp.int32(2**30)
+    valid = seg < n
+    num = n + 1
+
+    def seg_min(x):
+        return jax.ops.segment_min(jnp.where(valid, x, big), seg, num_segments=num)
+
+    def seg_max(x):
+        return jax.ops.segment_max(jnp.where(valid, x, -big), seg, num_segments=num)
+
+    # reference scan-order key: first encounter scanning x (col) outer,
+    # y-from-bottom (h-1-r) inner (CloudMask.cpp:73-76).
+    scan_key = cols.ravel() * h + (h - 1 - rows.ravel())
+    areas = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=num)
+    return (
+        seg_min(rows.ravel()), seg_max(rows.ravel()),
+        seg_min(cols.ravel()), seg_max(cols.ravel()),
+        seg_min(scan_key), areas,
+    )
+
+
 @dataclasses.dataclass
 class Region:
     """One connected region: compact id + bbox (rows/cols) + area.
@@ -105,28 +134,7 @@ def partition_regions(
     n = h * w
     labels = connected_components(mask_j, connectivity)
 
-    rows = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
-    cols = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones((h, 1), jnp.int32)
-    seg = labels.ravel()
-    big = jnp.int32(2**30)
-    valid = seg < n
-    num = n + 1
-
-    def seg_min(x):
-        return jax.ops.segment_min(jnp.where(valid, x, big), seg, num_segments=num)
-
-    def seg_max(x):
-        return jax.ops.segment_max(jnp.where(valid, x, -big), seg, num_segments=num)
-
-    # reference scan-order key: first encounter scanning x (col) outer,
-    # y-from-bottom (h-1-r) inner.
-    scan_key = cols.ravel() * h + (h - 1 - rows.ravel())
-    areas = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=num)
-    stats = jax.jit(lambda: (
-        seg_min(rows.ravel()), seg_max(rows.ravel()),
-        seg_min(cols.ravel()), seg_max(cols.ravel()),
-        seg_min(scan_key), areas,
-    ))()
+    stats = _region_stats(labels, h, w)
     rmin, rmax, cmin, cmax, kmin, areas_np = (np.asarray(s) for s in stats)
 
     reps = np.flatnonzero(areas_np > 0)
