@@ -34,6 +34,8 @@ from .models.laplace import (
     filling_missing_portions_smooth_boundaries,
     fill_missing_portion_smooth_boundary,
     apply_laplace,
+    fill_missing_data_folder,
+    find_connected_components,
 )
 from .models.poisson import blend_images_poisson, highlight_area_replaced, PerfInfo
 from .models.closest import find_good_close_image
@@ -58,6 +60,8 @@ __all__ = [
     "filling_missing_portions_smooth_boundaries",
     "fill_missing_portion_smooth_boundary",
     "apply_laplace",
+    "fill_missing_data_folder",
+    "find_connected_components",
     "blend_images_poisson",
     "highlight_area_replaced",
     "PerfInfo",

@@ -143,6 +143,38 @@ def _accumulate64(x64, d32, umask):
     return x64 + d32.astype(jnp.float64) * umask.astype(jnp.float64)
 
 
+# per-chunk element budget: solver state is ~40 B/element (f32 CG vectors +
+# f64 refinement arrays); 1.5e8 elements keeps a chunk under ~6 GB HBM
+MAX_CHUNK_ELEMENTS = 150_000_000
+
+
+def solve_banded_chunks(solve_fn, b, **kwargs) -> "CGResult":
+    """Split a (C, H, W) system into channel chunks that fit HBM and solve
+    sequentially — the full-tile path (10980^2 x 13 bands exceeds device
+    memory as one batch; the mask/hierarchy is shared so executables are
+    reused across chunks)."""
+    b = np.asarray(b) if not hasattr(b, "shape") else b
+    c, h, w = b.shape
+    per_band = h * w
+    bands_per_chunk = max(int(MAX_CHUNK_ELEMENTS // per_band), 1)
+    if bands_per_chunk >= c:
+        return solve_fn(b, **kwargs)
+    xs = []
+    iters = 0
+    err = 0.0
+    x0 = kwargs.pop("x0", None)
+    for s in range(0, c, bands_per_chunk):
+        e = min(s + bands_per_chunk, c)
+        sub_kwargs = dict(kwargs)
+        if x0 is not None:
+            sub_kwargs["x0"] = x0[s:e]
+        res = solve_fn(b[s:e], **sub_kwargs)
+        xs.append(np.asarray(res.x))
+        iters += res.iterations
+        err = max(err, res.error)
+    return CGResult(np.concatenate(xs, axis=0), iters, err)
+
+
 def solve_masked_poisson(
     b: np.ndarray,
     umask: np.ndarray,

@@ -81,22 +81,25 @@ def solve_matrix(
     # warm start: solve from the known-image values inside the mask
     x0 = images * umask
 
+    from .cg import solve_banded_chunks
+    import functools
+
     n = int(umask.sum())
     if config.use_multigrid and n >= config.mg_threshold_pixels:
-        result = multigrid.solve(
-            b, umask, deg=deg, x0=x0, tolerance=1e-9,
+        solver = functools.partial(
+            multigrid.solve, umask=umask, deg=deg, tolerance=1e-9,
             refinement_steps=max(config.refinement_steps, 2),
         )
     else:
-        result = solve_masked_poisson(
-            b,
-            umask,
-            x0=x0,
+        solver = functools.partial(
+            solve_masked_poisson,
+            umask=umask,
             deg=deg,
             tolerance=1e-7,  # + f64 refinement ~ Eigen's machine-eps default
             max_iterations=4 * n + 64,
             refinement_steps=max(config.refinement_steps, 2),
         )
+    result = solve_banded_chunks(solver, b, x0=x0)
 
     filled = np.where(umask, result.x, images)
     out = filled[0] if squeeze else filled

@@ -70,7 +70,7 @@ def _smooth(u, b, um, deg, sweeps):
     """Damped Jacobi restricted to unknowns. On TPU, large levels dispatch
     to the fused Pallas strip kernel (all sweeps in VMEM, ~2.5x faster than
     the XLA per-sweep path); small levels and other backends use XLA."""
-    from ..ops.pallas_kernels import fused_jacobi_tpu, pallas_available, HALO
+    from ..ops.pallas_kernels import fused_jacobi_tpu, pallas_available, HALO_R as HALO
 
     if (
         pallas_available()

@@ -17,6 +17,7 @@ the solve is matrix-free CG warm-started from the replacement values
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 
@@ -87,24 +88,27 @@ def _solve(
     b = _poisson_rhs(replacement, inputs, umask)
     max_iters = max_iterations if max_iterations is not None else max(n_unknowns // 2, 1)
 
+    from .cg import solve_banded_chunks
+
     start = time.perf_counter()
+    x0 = np.asarray(replacement, dtype=np.float64) * umask
     if config.use_multigrid and n_unknowns >= config.mg_threshold_pixels:
-        result = multigrid.solve(
-            b, umask,
+        solver = functools.partial(
+            multigrid.solve,
+            umask=umask,
             deg=neighbor_degree(umask.shape),
-            x0=np.asarray(replacement, dtype=np.float64) * umask,
             tolerance=tolerance,
             refinement_steps=config.refinement_steps,
         )
     else:
-        result = solve_masked_poisson(
-            b,
-            umask,
-            x0=np.asarray(replacement, dtype=np.float64) * umask,
+        solver = functools.partial(
+            solve_masked_poisson,
+            umask=umask,
             tolerance=tolerance,
             max_iterations=max_iters,
             refinement_steps=config.refinement_steps,
         )
+    result = solve_banded_chunks(solver, b, x0=x0)
     solve_ms = (time.perf_counter() - start) * 1e3
     _logger.debug(
         "Solution found after %d iterations with %.4e error", result.iterations, result.error

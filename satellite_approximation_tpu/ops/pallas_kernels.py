@@ -2,23 +2,23 @@
 
 ``fused_jacobi_tpu``: K damped-Jacobi sweeps of the masked 5-point system in
 one kernel. XLA executes each sweep as a separate HBM round trip (~3 arrays
-of traffic per sweep); this kernel streams full-width row strips (with a
-K-deep halo above and below) through VMEM, runs all K sweeps on-chip —
-the halo rim keeps the strip interior exact, since stencil information
-travels one cell per sweep — and DMAs only the interior back. For K=8 that
-is ~8x less HBM traffic on the smoother, which dominates every multigrid
-V-cycle.
+of traffic per sweep); this kernel streams (row-strip x column-tile) windows
+with a halo rim through VMEM, runs all K sweeps on-chip — the halo keeps the
+window interior exact, since stencil information travels one cell per
+sweep — and DMAs only the interior back. ~K-fold less HBM traffic on the
+smoother, which dominates every multigrid V-cycle.
 
 Implementation notes for this environment:
-* strips are full-width: Mosaic requires DMA slices 128-aligned (or whole)
-  in the lane dimension, so the width is padded to a multiple of 128;
-* the kernel is GRID-FREE — one program loops (channel, strip) pairs with
-  explicit HBM<->VMEM DMAs. The axon remote-compile toolchain on this host
-  fails to legalize any gridded pallas_call (including trivial ones), and
-  the manual loop also enables the classic double-buffering upgrade later;
+* windows are (STRIP+2*HALO_R) x (CTILE+2*HALO_C) with HALO_C=64 so every
+  DMA slice and start offset is 128-aligned in the lane dimension (Mosaic
+  requirement); column tiling keeps VMEM bounded for arbitrarily wide
+  images (a full-width 10980-strip window would need 26MB of VMEM);
+* the kernel is GRID-FREE — one program loops (channel, strip, coltile)
+  with explicit HBM<->VMEM DMAs. The axon remote-compile toolchain on this
+  host fails to legalize any gridded pallas_call (even trivial ones);
 * neighbour sums use pltpu.roll (circular): wrap-around garbage enters only
-  at the window rim and travels one cell per sweep — the HALO-deep discard
-  zone absorbs it;
+  at the window rim and travels one cell per sweep — the halo discard zone
+  absorbs it;
 * all kernel-side indices are explicitly i32 (jax x64 mode would otherwise
   materialize i64 scalars, which several tpu.* MLIR ops reject).
 """
@@ -34,30 +34,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STRIP = 112  # interior rows per strip (divisible by 8)
-HALO = 8
-WINR = STRIP + 2 * HALO  # 128 rows per VMEM window
+HALO_R = 8
+WINR = STRIP + 2 * HALO_R  # 128 rows per VMEM window
+HALO_C = 64  # column halo: keeps every DMA offset/extent 128-aligned
+CTILE = 2048  # interior columns per tile (multiple of 128)
 
 
-def _kernel_factory(sweeps: int, omega: float, winc: int, n_strips: int, channels: int):
+def _kernel_factory(
+    sweeps: int, omega: float, winc: int, n_strips: int, n_ctiles: int, channels: int
+):
     def kernel(u_hbm, b_hbm, m_hbm, d_hbm, out_hbm, su, sb, sm, sd, so, sems):
         one = jnp.int32(1)
 
-        def strip_body(ci, i, carry):
+        def tile_body(ci, i, j, carry):
             r0 = i * jnp.int32(STRIP)
+            c0 = j * jnp.int32(CTILE)
 
             idx = [jnp.int32(t) for t in range(5)]
             copies = [
                 pltpu.make_async_copy(
-                    u_hbm.at[ci, pl.ds(r0, WINR), :], su, sems.at[idx[0]]
+                    u_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)], su, sems.at[idx[0]]
                 ),
                 pltpu.make_async_copy(
-                    b_hbm.at[ci, pl.ds(r0, WINR), :], sb, sems.at[idx[1]]
+                    b_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)], sb, sems.at[idx[1]]
                 ),
                 pltpu.make_async_copy(
-                    m_hbm.at[pl.ds(r0, WINR), :], sm, sems.at[idx[2]]
+                    m_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)], sm, sems.at[idx[2]]
                 ),
                 pltpu.make_async_copy(
-                    d_hbm.at[pl.ds(r0, WINR), :], sd, sems.at[idx[3]]
+                    d_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)], sd, sems.at[idx[3]]
                 ),
             ]
             for cp in copies:
@@ -82,44 +87,47 @@ def _kernel_factory(sweeps: int, omega: float, winc: int, n_strips: int, channel
                 return u + omega * (b - au) * inv
 
             u = lax.fori_loop(0, sweeps, body, su[:, :])
-            so[:, :] = u[HALO : HALO + STRIP, :]
+            so[:, :] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE]
             out_cp = pltpu.make_async_copy(
-                so, out_hbm.at[ci, pl.ds(r0, STRIP), :], sems.at[idx[4]]
+                so, out_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[4]]
             )
             out_cp.start()
             out_cp.wait()
             return carry
 
-        def channel_body(ci, carry):
+        def strip_loop(ci, i, carry):
             return lax.fori_loop(
-                jnp.int32(0),
-                jnp.int32(n_strips),
-                lambda i, c: strip_body(ci, i, c),
-                carry,
+                jnp.int32(0), jnp.int32(n_ctiles), lambda j, c: tile_body(ci, i, j, c), carry
             )
 
-        lax.fori_loop(jnp.int32(0), jnp.int32(channels), channel_body, jnp.int32(0))
+        def channel_loop(ci, carry):
+            return lax.fori_loop(
+                jnp.int32(0), jnp.int32(n_strips), lambda i, c: strip_loop(ci, i, c), carry
+            )
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(channels), channel_loop, jnp.int32(0))
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "omega"))
 def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
-    """K fused Jacobi sweeps (K <= HALO); u/b (C, H, W) f32, umask/deg (H, W).
+    """K fused Jacobi sweeps (K <= HALO_R); u/b (C, H, W) f32, umask/deg (H, W).
 
     Equivalent to K applications of the XLA sweep (multigrid._smooth) —
     validated in tests/test_pallas.py.
     """
-    assert sweeps <= HALO, f"sweeps={sweeps} exceeds halo depth {HALO}"
+    assert sweeps <= HALO_R, f"sweeps={sweeps} exceeds halo depth {HALO_R}"
     c, h, w = u.shape
     hp = -(-h // STRIP) * STRIP
-    winc = -(-(w + 2 * HALO) // 128) * 128  # lane dim multiple of 128
+    wp = -(-w // CTILE) * CTILE
+    winc = CTILE + 2 * HALO_C
 
     def pad_img(x, value=0.0):
         return jnp.pad(
             x,
             [(0, 0)] * (x.ndim - 2)
-            + [(HALO, hp - h + HALO), (HALO, winc - w - HALO)],
+            + [(HALO_R, hp - h + HALO_R), (HALO_C, wp - w + HALO_C)],
             constant_values=value,
         )
 
@@ -129,9 +137,10 @@ def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
     dp = pad_img(deg.astype(jnp.float32), value=1.0)
 
     n_strips = hp // STRIP
+    n_ctiles = wp // CTILE
     out = pl.pallas_call(
-        _kernel_factory(sweeps, float(omega), winc, n_strips, c),
-        out_shape=jax.ShapeDtypeStruct((c, hp, winc), jnp.float32),
+        _kernel_factory(sweeps, float(omega), winc, n_strips, n_ctiles, c),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -144,12 +153,12 @@ def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
             pltpu.VMEM((WINR, winc), jnp.float32),
             pltpu.VMEM((WINR, winc), jnp.float32),
             pltpu.VMEM((WINR, winc), jnp.float32),
-            pltpu.VMEM((STRIP, winc), jnp.float32),
+            pltpu.VMEM((STRIP, CTILE), jnp.float32),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(up, bp, mp, dp)
-    return out[:, :h, HALO : HALO + w]
+    return out[:, :h, :w]
 
 
 def pallas_available() -> bool:
