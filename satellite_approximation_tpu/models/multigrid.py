@@ -37,9 +37,9 @@ from jax import lax
 from .cg import CGResult, _residual_f64, neighbor_degree, shift_sum, masked_laplacian
 
 _OMEGA = 0.8
-_PRE_SMOOTH = 2
-_POST_SMOOTH = 2
-_COARSE_ITERS = 32
+_PRE_SMOOTH = 6
+_POST_SMOOTH = 6
+_COARSE_ITERS = 64
 _MIN_SIZE = 24
 
 
