@@ -60,6 +60,11 @@ class TestDetectE2E:
         assert 0.01 < status.percent_clouds < 0.95
         assert status.percent_shadows is not None
         assert status.percent_invalid >= status.percent_clouds
+        # pinned goldens (recorded 2026-08-16) — regression canaries for the
+        # whole pipeline's numerics on this crop
+        assert status.percent_clouds == pytest.approx(0.335180952381, abs=1e-9)
+        assert status.percent_shadows == pytest.approx(0.018304761905, abs=2e-3)
+        assert status.percent_invalid == pytest.approx(0.353485714286, abs=2e-3)
 
         # all four outputs written with geo metadata and mask semantics
         for path in [
