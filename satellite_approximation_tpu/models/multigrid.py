@@ -179,6 +179,16 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations):
     pytree of (umask, deg) per level, passed as traced arguments so the
     compilation caches on *shapes* — new cloud masks reuse the executable."""
     um0, deg0 = levels_j[0]
+    # the V-cycle is only a preconditioner: run it in bf16 (half the HBM
+    # traffic, ~same VPU ops) — measured to cost zero extra PCG iterations;
+    # flexible PCG absorbs the low-precision application
+    levels_16 = tuple((m_, d_.astype(jnp.bfloat16)) for m_, d_ in levels_j)
+
+    def precond(r):
+        z16 = _v_cycle(
+            levels_16, r.astype(jnp.bfloat16), jnp.zeros(r.shape, jnp.bfloat16), 0
+        )
+        return z16.astype(r.dtype)
 
     def dots(a, b):
         return jnp.sum(a * b, axis=(-2, -1))
@@ -188,7 +198,7 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations):
         b = b * umf
         x = x0 * umf
         r = (b - masked_laplacian(x, um0, deg0)) * umf
-        z = _v_cycle(levels_j, r, jnp.zeros_like(r), 0)
+        z = precond(r)
         p = z
         rz = dots(r, z)
         bs = dots(b, b)
@@ -207,7 +217,7 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations):
             a = alpha[..., None, None]
             x = x + a * p
             r_new = r - a * ap
-            z_new = _v_cycle(levels_j, r_new, jnp.zeros_like(r_new), 0)
+            z_new = precond(r_new)
             # flexible (Polak–Ribière) beta: robust to the slightly
             # nonlinear preconditioner (coarse-level CG)
             rz_new = dots(r_new, z_new)

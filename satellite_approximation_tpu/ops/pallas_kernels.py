@@ -70,9 +70,12 @@ def _kernel_factory(
             for cp in copies:
                 cp.wait()
 
-            m = sm[:, :]
-            deg = sd[:, :]
-            b = sb[:, :]
+            # compute in f32 regardless of the storage dtype: tpu.dynamic_rotate
+            # only supports 32-bit data, and bf16 inputs only need the DMA
+            # traffic halved, not the arithmetic
+            m = sm[:, :].astype(jnp.float32)
+            deg = sd[:, :].astype(jnp.float32)
+            b = sb[:, :].astype(jnp.float32)
             inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * m
 
             def body(_, u):
@@ -86,8 +89,10 @@ def _kernel_factory(
                 au = deg * u - s
                 return u + omega * (b - au) * inv
 
-            u = lax.fori_loop(0, sweeps, body, su[:, :])
-            so[:, :] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE]
+            u = lax.fori_loop(0, sweeps, body, su[:, :].astype(jnp.float32))
+            so[:, :] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE].astype(
+                so.dtype
+            )
             out_cp = pltpu.make_async_copy(
                 so, out_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[4]]
             )
@@ -131,16 +136,17 @@ def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
             constant_values=value,
         )
 
-    up = pad_img(u.astype(jnp.float32))
-    bp = pad_img(b.astype(jnp.float32))
-    mp = pad_img(umask.astype(jnp.float32))
-    dp = pad_img(deg.astype(jnp.float32), value=1.0)
+    dtype = u.dtype  # f32 or bf16 (the multigrid preconditioner runs bf16)
+    up = pad_img(u)
+    bp = pad_img(b.astype(dtype))
+    mp = pad_img(umask.astype(dtype))
+    dp = pad_img(deg.astype(dtype), value=1.0)
 
     n_strips = hp // STRIP
     n_ctiles = wp // CTILE
     out = pl.pallas_call(
         _kernel_factory(sweeps, float(omega), winc, n_strips, n_ctiles, c),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -149,11 +155,11 @@ def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((WINR, winc), jnp.float32),
-            pltpu.VMEM((WINR, winc), jnp.float32),
-            pltpu.VMEM((WINR, winc), jnp.float32),
-            pltpu.VMEM((WINR, winc), jnp.float32),
-            pltpu.VMEM((STRIP, CTILE), jnp.float32),
+            pltpu.VMEM((WINR, winc), dtype),
+            pltpu.VMEM((WINR, winc), dtype),
+            pltpu.VMEM((WINR, winc), dtype),
+            pltpu.VMEM((WINR, winc), dtype),
+            pltpu.VMEM((STRIP, CTILE), dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
