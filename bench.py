@@ -147,4 +147,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the tunneled TPU in this environment occasionally drops a claim
+        # mid-run; one retry rides it out
+        print(f"# first attempt failed ({e}); retrying once", file=sys.stderr)
+        main()
