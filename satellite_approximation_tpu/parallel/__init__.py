@@ -10,6 +10,7 @@ for solver dot products, plus a band axis for data-parallel channels.
 from .mesh import make_mesh, spatial_band_mesh
 from .halo import halo_pad_rows
 from .solver import sharded_masked_cg, sharded_training_step
+from .mg import sharded_mg_solve
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,5 @@ __all__ = [
     "halo_pad_rows",
     "sharded_masked_cg",
     "sharded_training_step",
+    "sharded_mg_solve",
 ]

@@ -1,0 +1,312 @@
+"""Sharded geometric multigrid: the multi-chip form of models/multigrid.py.
+
+Image rows shard over the mesh's 'x' axis; bands over 'b'. Fine levels run
+*distributed*: Jacobi smoothing, residuals, and the bilinear/full-weighting
+transfers all consume one ghost row from each neighbouring shard
+(``ppermute`` over ICI). Once a level's per-shard row count gets too small
+for useful parallelism, the remaining coarse levels are *replicated*: one
+``all_gather`` pulls the coarse residual onto every shard, the coarse
+V-cycle tail runs redundantly (cheap — the arrays are tiny), and each shard
+slices its own rows of the correction back out with no further
+communication. This distributed-fine/replicated-coarse split is the
+standard structure of production parallel multigrid.
+
+The whole PCG loop compiles into one shard_map-ped while_loop; the only
+cross-shard traffic is halo rows, dot-product psums, and the one
+coarse-level all_gather per V-cycle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import multigrid as M
+from ..models.cg import neighbor_degree
+from .halo import halo_pad_rows
+
+_MIN_LOCAL_ROWS = 8  # below this, switch to replicated coarse levels
+
+
+def build_sharded_hierarchy(umask: np.ndarray, deg: np.ndarray, xdim: int):
+    """Global hierarchy split into a distributed prefix and replicated tail.
+
+    Returns (padded_shape, dist_levels, repl_levels): dist_levels' row
+    counts are divisible by xdim (each shard owns an aligned block);
+    repl_levels continue coarsening on the full (small) grid.
+    """
+    m = np.asarray(umask, bool)
+    h, w = m.shape
+    # pad rows so every distributed level splits evenly across shards
+    depth = 0
+    probe = m
+    while min(probe.shape) > M._MIN_SIZE:
+        ph = (probe.shape[0] + 1) // 2
+        pw = (probe.shape[1] + 1) // 2
+        if ph // xdim < _MIN_LOCAL_ROWS:
+            break
+        probe = probe[:ph, :pw]  # shape probe only
+        depth += 1
+    align = xdim * (1 << max(depth, 0))
+    hp = -(-h // align) * align
+    mp = np.zeros((hp, w), dtype=bool)
+    mp[:h] = m
+    dp = np.full((hp, w), 0.0, dtype=np.float32)
+    dp[:h] = deg
+    dp[h:] = 1.0  # padded rows: inert unknowns=False cells
+
+    dist_levels = [(mp, dp)]
+    cur = mp
+    for _ in range(depth):
+        ch, cw = cur.shape
+        pw = (cw + 1) // 2 * 2
+        tmp = np.zeros((ch, pw), dtype=bool)
+        tmp[:, :cw] = cur
+        pooled = tmp.reshape(ch // 2, 2, pw // 2, 2).any(axis=(1, 3))
+        if pooled.all():
+            break
+        cur = pooled
+        dist_levels.append((cur, neighbor_degree(cur.shape)))
+
+    repl_levels = M.build_hierarchy(cur, neighbor_degree(cur.shape))
+    return (hp, w), dist_levels, repl_levels
+
+
+def _restrict_rows_sharded(r, axis_name):
+    """Full-weighting row restriction with ghost rows from neighbours:
+    out[i] = .25 f[2i-1] + .75 f[2i] + .75 f[2i+1] + .25 f[2i+2] in global
+    indices; local blocks stay aligned because every level's rows divide
+    evenly across shards."""
+    rp = halo_pad_rows(r, axis_name)  # (..., Hl+2, W); rp[k] = f[k-1]
+    hl = r.shape[-2]
+    c = hl // 2
+    out = (
+        0.25 * rp[..., 0 : 2 * c : 2, :]
+        + 0.75 * rp[..., 1 : 2 * c + 1 : 2, :]
+        + 0.75 * rp[..., 2 : 2 * c + 2 : 2, :]
+        + 0.25 * rp[..., 3 : 2 * c + 3 : 2, :]
+    )
+    return out
+
+
+def _prolong_rows_sharded(e, axis_name):
+    """Transpose of :func:`_restrict_rows_sharded`: cell-centred bilinear
+    row interpolation with one ghost coarse row per side."""
+    ep = halo_pad_rows(e, axis_name)  # (..., Hc+2, W); ep[k] = c[k-1]
+    hc = e.shape[-2]
+    even = 0.75 * ep[..., 1 : hc + 1, :] + 0.25 * ep[..., 0:hc, :]
+    odd = 0.75 * ep[..., 1 : hc + 1, :] + 0.25 * ep[..., 2 : hc + 2, :]
+    stacked = jnp.stack([even, odd], axis=-2)  # (..., Hc, 2, W)
+    return stacked.reshape(*e.shape[:-2], 2 * hc, e.shape[-1])
+
+
+def _stencil_sharded(u, um, deg, axis_name):
+    masked = u * um
+    padded = halo_pad_rows(masked, axis_name)
+    h = u.shape[-2]
+    w = u.shape[-1]
+    wpad = jnp.pad(masked, [(0, 0)] * (u.ndim - 2) + [(0, 0), (1, 1)])
+    s = (
+        padded[..., 0:h, :]
+        + padded[..., 2 : h + 2, :]
+        + wpad[..., :, 0:w]
+        + wpad[..., :, 2 : w + 2]
+    )
+    return (deg * u - s) * um
+
+
+def _smooth_sharded(u, b, um, deg, sweeps, axis_name):
+    inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * um
+
+    def body(_, u):
+        au = _stencil_sharded(u, um, deg, axis_name)
+        return u + M._OMEGA * (b - au) * inv
+
+    return lax.fori_loop(0, sweeps, body, u)
+
+
+def _v_cycle_sharded(dist_local, repl_levels_j, b, u, lvl, axis_name, xdim):
+    um, deg = dist_local[lvl]
+    if lvl == len(dist_local) - 1:
+        # replicated tail: gather the residual rows onto every shard, run
+        # the single-device V-cycle redundantly, slice our rows back out
+        u = _smooth_sharded(u, b, um, deg, M._PRE_SMOOTH, axis_name)
+        r = (b - _stencil_sharded(u, um, deg, axis_name)) * um
+        r_full = lax.all_gather(r, axis_name, axis=-2, tiled=True)
+        e_full = M._v_cycle(repl_levels_j, r_full, jnp.zeros_like(r_full), 0)
+        hl = u.shape[-2]
+        idx = lax.axis_index(axis_name)
+        e_local = lax.dynamic_slice_in_dim(e_full, idx * hl, hl, axis=-2)
+        u = u + e_local * um
+        return _smooth_sharded(u, b, um, deg, M._POST_SMOOTH, axis_name)
+
+    u = _smooth_sharded(u, b, um, deg, M._PRE_SMOOTH, axis_name)
+    r = (b - _stencil_sharded(u, um, deg, axis_name)) * um
+    r_c = _restrict_rows_sharded(r, axis_name)
+    if r_c.shape[-1] % 2:  # odd widths pad to even, like M._restrict
+        r_c = jnp.pad(r_c, [(0, 0)] * (r_c.ndim - 1) + [(0, 1)])
+    r_c = M._restrict_axis(r_c, -1)
+    um_c, _ = dist_local[lvl + 1]
+    r_c = r_c * um_c
+    e_c = _v_cycle_sharded(
+        dist_local, repl_levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, axis_name, xdim
+    )
+    e_f = _prolong_rows_sharded(e_c, axis_name)
+    e_f = M._prolong_axis(e_f, -1)[..., :, : u.shape[-1]]
+    u = u + e_f * um
+    return _smooth_sharded(u, b, um, deg, M._POST_SMOOTH, axis_name)
+
+
+def sharded_mg_solve(
+    b: np.ndarray,
+    x0: np.ndarray,
+    umask: np.ndarray,
+    deg: np.ndarray | None,
+    mesh: Mesh,
+    tolerance: float = 1e-6,
+    max_iterations: int = 100,
+):
+    """MG-preconditioned CG over a ('b', 'x') mesh.
+
+    ``b``/``x0`` are (C, H, W); ``umask`` (H, W). Rows are padded so every
+    distributed level splits evenly across the 'x' shards. Returns
+    (x (C,H,W) device array with the original shape, iterations, |r|^2).
+    """
+    c, h, w = b.shape
+    xdim = mesh.shape["x"]
+    if deg is None:
+        deg = neighbor_degree((h, w))
+    (hp, wp), dist_levels, repl_levels = build_sharded_hierarchy(umask, deg, xdim)
+
+    def pad(a):
+        return jnp.pad(jnp.asarray(a, jnp.float32), [(0, 0)] * (a.ndim - 2) + [(0, hp - h), (0, 0)])
+
+    b_p = jax.device_put(pad(np.asarray(b, np.float32)), NamedSharding(mesh, P("b", "x", None)))
+    x0_p = jax.device_put(pad(np.asarray(x0, np.float32)), NamedSharding(mesh, P("b", "x", None)))
+
+    # per-level masks/degrees as row-sharded device arrays (f32)
+    dist_j = tuple(
+        (
+            jax.device_put(jnp.asarray(m_, jnp.float32), NamedSharding(mesh, P("x", None))),
+            jax.device_put(jnp.asarray(d_, jnp.float32), NamedSharding(mesh, P("x", None))),
+        )
+        for m_, d_ in dist_levels
+    )
+    repl_j = tuple(
+        (
+            jax.device_put(jnp.asarray(m_), NamedSharding(mesh, P())),
+            jax.device_put(jnp.asarray(d_), NamedSharding(mesh, P())),
+        )
+        for m_, d_ in repl_levels
+    )
+
+    tol = jnp.asarray(tolerance, jnp.float32)
+    n_dist = len(dist_j)
+
+    in_specs = (
+        P("b", "x", None),
+        P("b", "x", None),
+        tuple((P("x", None), P("x", None)) for _ in range(n_dist)),
+        tuple((P(), P()) for _ in range(len(repl_j))),
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("b", "x", None), P(), P("b")),
+    )
+    def run(b_l, x0_l, dist_local, repl_local):
+        um0, deg0 = dist_local[0]
+
+        def dots(p, q):
+            return lax.psum(jnp.sum(p * q, axis=(-2, -1)), "x")
+
+        def precond(r):
+            return _v_cycle_sharded(
+                dist_local, repl_local, r, jnp.zeros_like(r), 0, "x", xdim
+            )
+
+        bb = b_l * um0
+        x = x0_l * um0
+        r = (bb - _stencil_sharded(x, um0, deg0, "x")) * um0
+        z = precond(r)
+        p = z
+        rz = dots(r, z)
+        bs = dots(bb, bb)
+        threshold = jnp.maximum(tol * tol * bs, jnp.finfo(jnp.float32).tiny)
+
+        def cond(state):
+            _, r_c, _, _, _, it = state
+            rr = dots(r_c, r_c)
+            flag = lax.psum(jnp.any(rr > threshold).astype(jnp.int32), "b")
+            return jnp.logical_and(flag > 0, it < max_iterations)
+
+        def body(state):
+            x, r, p, z, rz, it = state
+            ap = _stencil_sharded(p, um0, deg0, "x")
+            pap = dots(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+            a = alpha[..., None, None]
+            x = x + a * p
+            r_new = r - a * ap
+            z_new = precond(r_new)
+            rz_new = dots(r_new, z_new)
+            beta_num = rz_new - dots(r, z_new)
+            beta = jnp.where(rz > 0, beta_num / jnp.where(rz > 0, rz, 1.0), 0.0)
+            p = z_new + beta[..., None, None] * p
+            return x, r_new, p, z_new, rz_new, it + 1
+
+        x, r, p, z, rz, it = lax.while_loop(cond, body, (x, r, p, z, rz, jnp.int32(0)))
+        return x, it, dots(r, r)
+
+    solver = jax.jit(run)
+
+    # f64 iterative refinement: the f32 PCG recurrence drifts by ~eps*kappa,
+    # so the true residual is re-measured (in f64, with real halo exchange —
+    # GSPMD cannot partition jnp.pad on a sharded dim) and the correction
+    # system re-solved until the tolerance genuinely holds.
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("b", "x", None), P("b", "x", None), P("x", None), P("x", None)),
+        out_specs=(P("b", "x", None), P("b")),
+    )
+    def residual64(b64_l, x64_l, um_l, deg_l):
+        um = um_l.astype(jnp.float64)
+        r = (b64_l * um - _stencil_sharded(x64_l * um, um, deg_l.astype(jnp.float64), "x"))
+        r = r * um
+        return r, lax.psum(jnp.sum(r * r, axis=(-2, -1)), "x")
+
+    umask_p = dist_j[0][0]
+    deg_p = dist_j[0][1]
+    b64 = b_p.astype(jnp.float64)
+    x64 = x0_p.astype(jnp.float64) * umask_p.astype(jnp.float64)
+    bnorm = np.asarray(
+        jnp.sqrt(jnp.sum((b64 * umask_p.astype(jnp.float64)) ** 2, axis=(-2, -1)))
+    )
+    target = tolerance * np.maximum(bnorm, 1e-300)
+
+    total_iters = 0
+    r64, rsq = jax.jit(residual64)(b64, x64, umask_p, deg_p)
+    rnorm = np.sqrt(np.asarray(rsq))
+    for _ in range(3):
+        if np.all(rnorm <= target):
+            break
+        d, it, _ = solver(r64.astype(jnp.float32), jnp.zeros_like(b_p), dist_j, repl_j)
+        total_iters += int(it)
+        x64 = x64 + d.astype(jnp.float64) * umask_p.astype(jnp.float64)
+        r64, rsq = jax.jit(residual64)(b64, x64, umask_p, deg_p)
+        rnorm = np.sqrt(np.asarray(rsq))
+
+    if hp != h:
+        # the partitioner cannot slice a row-sharded dim to a non-divisible
+        # extent: reshard rows to replicated (all-gather), then slice
+        x64 = jax.device_put(x64, NamedSharding(mesh, P("b", None, None)))
+    x64 = x64[:, :h, :]
+    return x64, total_iters, (rnorm / np.maximum(bnorm, 1e-300))
