@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .cg import CGResult, _residual_f64, neighbor_degree, shift_sum, masked_laplacian
+from .cg import CGResult, neighbor_degree, masked_laplacian
 
 _OMEGA = 0.8
 _PRE_SMOOTH = 6

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..utils.log import create_logger
 from ..utils.perf import PerfInfo
-from .cg import solve_masked_poisson, neighbor_degree, CGResult
+from .cg import solve_masked_poisson, neighbor_degree
 from . import multigrid
 from ..config import SolverConfig, DEFAULT_SOLVER
 

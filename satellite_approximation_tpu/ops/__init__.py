@@ -41,3 +41,7 @@ __all__ = [
     "trimmed_average",
     "masked_percentile",
 ]
+from . import geometry, image
+from .pallas_kernels import fused_jacobi_tpu, pallas_available
+
+__all__ += ["geometry", "image", "fused_jacobi_tpu", "pallas_available"]
