@@ -169,10 +169,14 @@ def solve_banded_chunks(solve_fn, b, **kwargs) -> "CGResult":
         if x0 is not None:
             sub_kwargs["x0"] = x0[s:e]
         res = solve_fn(b[s:e], **sub_kwargs)
-        xs.append(np.asarray(res.x))
+        xs.append(res.x)
         iters += res.iterations
         err = max(err, res.error)
-    return CGResult(np.concatenate(xs, axis=0), iters, err)
+    if any(isinstance(x, jnp.ndarray) for x in xs):
+        x_all = jnp.concatenate([jnp.asarray(x) for x in xs], axis=0)
+    else:
+        x_all = np.concatenate(xs, axis=0)
+    return CGResult(x_all, iters, err)
 
 
 def solve_masked_poisson(
