@@ -232,6 +232,31 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations):
     return run(b, x0, tol)
 
 
+# repeated solves on the same mask (multi-date fills, refinement passes,
+# benchmarks) reuse the uploaded hierarchy — re-uploading ~20MB of level
+# masks per call is real money on tunneled-TPU hosts
+_HIERARCHY_CACHE: dict = {}
+
+
+def _device_hierarchy(umask_np: np.ndarray, deg: np.ndarray):
+    key = (
+        umask_np.shape,
+        hash(umask_np.tobytes()),
+        deg.shape,
+        hash(np.asarray(deg, np.float32).tobytes()),
+    )
+    cached = _HIERARCHY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    levels = build_hierarchy(umask_np, deg)
+    levels = [(levels[0][0], deg)] + levels[1:]
+    levels_j = tuple((jnp.asarray(m), jnp.asarray(d)) for m, d in levels)
+    if len(_HIERARCHY_CACHE) > 8:
+        _HIERARCHY_CACHE.clear()
+    _HIERARCHY_CACHE[key] = levels_j
+    return levels_j
+
+
 def solve(
     b: np.ndarray,
     umask: np.ndarray,
@@ -254,9 +279,7 @@ def solve(
     deg = np.asarray(deg, np.float32)
     # note: the hierarchy rediscretizes with full in-image degrees; a custom
     # fine-level deg only affects the fine operator
-    levels = build_hierarchy(umask_np, deg)
-    levels = [(levels[0][0], deg)] + levels[1:]
-    levels_j = tuple((jnp.asarray(m), jnp.asarray(d)) for m, d in levels)
+    levels_j = _device_hierarchy(umask_np, deg)
 
     def solver(bb, xx0, tol):
         return _pcg_run(bb, xx0, tol, levels_j, max_iterations=max_iterations)
