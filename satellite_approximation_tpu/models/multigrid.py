@@ -56,10 +56,21 @@ def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
         mp[:h, :w] = m
         pooled = mp.reshape(ph // 2, 2, pw // 2, 2).any(axis=(1, 3))
         if pooled.all():
-            # any-pooling would swallow every known cell: the rediscretized
-            # operator would lose its Dirichlet anchoring and turn singular
-            # (pure-Neumann graph Laplacian). Stop the hierarchy here.
-            break
+            # any-pooling swallowed every known cell. With in-image-neighbour
+            # degrees the operator would turn singular (pure-Neumann graph
+            # Laplacian); but at this point the fine level's known cells lie
+            # within one coarse cell of the image border, so continue
+            # coarsening with deg=4 everywhere — an implicit zero-Dirichlet
+            # just outside the image, the right boundary approximation for
+            # the error equation and plenty for a preconditioner.
+            m = pooled
+            while True:
+                levels.append((m, np.full(m.shape, 4.0, dtype=np.float32)))
+                if min(m.shape) <= _MIN_SIZE:
+                    break
+                h2, w2 = m.shape
+                m = np.ones(((h2 + 1) // 2, (w2 + 1) // 2), dtype=bool)
+            return levels
         m = pooled
         d = neighbor_degree(m.shape)
         levels.append((m, d))
@@ -143,7 +154,11 @@ def _prolong(e, fine_shape):
 def _v_cycle(levels_j, b, u, lvl):
     um, deg = levels_j[lvl]
     if lvl == len(levels_j) - 1:
-        # coarsest: a fixed budget of plain CG iterations
+        # coarsest: plain CG, budgeted by the coarse grid's diameter (when
+        # any-pooling saturates the mask early, the coarsest level can be
+        # large and nearly all-unknown — a fixed budget starves it and the
+        # whole preconditioner collapses)
+        coarse_iters = max(_COARSE_ITERS, 4 * max(um.shape))
         r = (b - masked_laplacian(u, um, deg)) * um
 
         def body(_, state):
@@ -160,7 +175,7 @@ def _v_cycle(levels_j, b, u, lvl):
             return x, r, p, rs_new
 
         rs = jnp.sum(r * r, axis=(-2, -1))
-        u, _, _, _ = lax.fori_loop(0, _COARSE_ITERS, body, (u, r, r, rs))
+        u, _, _, _ = lax.fori_loop(0, coarse_iters, body, (u, r, r, rs))
         return u
 
     u = _smooth(u, b, um, deg, _PRE_SMOOTH)
