@@ -211,3 +211,43 @@ class TestGeometry:
         assert 0.0 < v[2] < 1.0
         assert v[3] == pytest.approx(0.0)
         assert v[4] == 0.0
+
+
+class TestNoCloudScene:
+    def test_detect_stages_handle_empty_clouds(self):
+        """A fully clear scene: no clouds -> no matches -> empty shadows."""
+        from satellite_approximation_tpu.models.detection import (
+            cloud_mask as cm,
+            shadow_mask as sm,
+        )
+        from satellite_approximation_tpu.ops.stats import trimmed_average
+
+        h, w = 64, 80
+        clp = np.zeros((h, w), np.float32)
+        cld = np.zeros((h, w), np.float32)
+        scl = np.full((h, w), 4, np.uint8)  # vegetation
+        g = cm.generate_cloud_mask_ignore_low_probability(clp, cld, scl)
+        assert not g.cloud_mask.any()
+        cmap, clouds = cm.partition_cloud_mask(g.cloud_mask_no_processing, 10.0, 3)
+        assert clouds == []
+        assert (cmap == -1).all()
+
+        sun = np.array([1e8, 1e8, 1.5e9])
+        view = np.array([0.0, 0.0, 785.0])
+        nir = np.full((h, w), 0.4, np.float32)
+        psm = sm.generate_potential_shadow_mask(nir, g.cloud_mask_no_processing, scl)
+        res = matching.match_clouds_shadows(
+            clouds, cmap, g.cloud_mask_no_processing, psm.mask, 10.0, sun, view
+        )
+        assert res.solutions == {} and res.shadows == {}
+        assert not res.shadow_mask.any()
+        assert np.isnan(res.trimmed_mean_height)  # matches trimmedAverage on empty
+
+        alpha = refinement.alpha_map(psm.difference_of_pitfill_nir)
+        beta = refinement.beta_map(res.shadows, res.solutions, clp, 10.0)
+        assert not beta.any()
+        surface = refinement.probability_map(res.shadow_mask, alpha, beta)
+        final = refinement.improved_shadow_mask(
+            res.shadow_mask, g.cloud_mask, alpha, beta, surface, 0.15
+        )
+        assert final.shape == (h, w)
