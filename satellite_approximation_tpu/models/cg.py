@@ -12,9 +12,10 @@ band axis so all channels solve simultaneously (the reference loops channels
 sequentially, poisson.cpp:226-270).
 
 Precision: CG runs in f32 on-device; an outer iterative-refinement loop
-computes the true residual in f64 on the host and re-solves for the
-correction, recovering f64-grade accuracy without paying TPU f64 emulation
-costs in the hot loop (SURVEY.md §7 "hard parts" (b)).
+computes the true residual in f64 *on-device* (a few emulated-f64 sweeps)
+and re-solves the correction system with adaptive inner tolerances,
+recovering f64-grade accuracy without paying f64 costs in the hot loop
+(SURVEY.md §7 "hard parts" (b)). Only scalar norms cross the host boundary.
 """
 
 from __future__ import annotations

@@ -147,10 +147,12 @@ def _cast_transforms(
     return a2, delta, (min_x, max_x, min_y, max_y), m
 
 
-@functools.partial(jax.jit, static_argnames=("wb", "hb", "width", "height"))
+@functools.partial(
+    jax.jit, static_argnames=("wb", "hb", "width", "height", "min_support")
+)
 def _bucket_sweep(
     cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
-    wb: int, hb: int, width: int, height: int,
+    wb: int, hb: int, width: int, height: int, min_support: int = 5,
 ):
     """Similarity of every (height, cloud) pair in one bucket.
 
@@ -182,7 +184,9 @@ def _bucket_sweep(
         mnx, mny, mxx, mxy, a2h, dh = args
         t, c = jax.vmap(one_cloud)(ids, mnx, mny, mxx, mxy, a2h, dh)
         sim = jnp.where(
-            t >= 5, c.astype(jnp.float32) / t.astype(jnp.float32), jnp.float32(-1.1)
+            t >= min_support,
+            c.astype(jnp.float32) / t.astype(jnp.float32),
+            jnp.float32(-1.1),
         )
         return None, sim
 
@@ -295,6 +299,7 @@ def match_clouds_shadows(
                 _bucket_sweep(
                     cmask_j, psm_j, cmap_j, ids, **args,
                     wb=wb, hb=hb, width=wdt, height=hgt,
+                    min_support=config.min_support_pixels,
                 )
             )  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
