@@ -10,6 +10,9 @@ script documents end-to-end detection latency. Usage:
 import json
 import shutil
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import tempfile
 import time
 from pathlib import Path

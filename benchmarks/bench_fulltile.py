@@ -7,6 +7,9 @@ scale masked fill via band-chunked multigrid.
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
