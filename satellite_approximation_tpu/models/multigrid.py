@@ -41,7 +41,6 @@ _PRE_SMOOTH = 6
 _POST_SMOOTH = 6
 _COARSE_ITERS = 64
 _MIN_SIZE = 24
-_W_LEVELS = 3  # W-cycle branching on the top levels only
 
 
 def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
@@ -183,13 +182,7 @@ def _v_cycle(levels_j, b, u, lvl):
     r = (b - masked_laplacian(u, um, deg)) * um
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
-    # W-cycle on the top levels (halves PCG iterations); branching is capped
-    # so deep hierarchies don't explode the coarse-visit count (2^depth) or
-    # the trace size
-    gamma = 2 if lvl < _W_LEVELS and lvl < len(levels_j) - 2 else 1
     e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1)
-    for _ in range(gamma - 1):
-        e_c = _v_cycle(levels_j, r_c, e_c, lvl + 1)
     u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
     u = _smooth(u, b, um, deg, _POST_SMOOTH)
     return u
