@@ -121,3 +121,34 @@ class TestDetectE2E:
         st = results[Date(2019, 5, 22)]
         assert st.clouds_computed and st.shadows_computed
         assert st.percent_invalid > 0
+
+
+class TestConfig3LaplaceFill:
+    """BASELINE config #3: single-band cloud-gap Laplace fill on the test
+    scene, using the pipeline's own detected cloud mask."""
+
+    def test_fill_detected_gaps(self, crop_scene):
+        from satellite_approximation_tpu.models.laplace import (
+            fill_missing_portion_smooth_boundary,
+        )
+
+        params = CloudParams.from_root(crop_scene)
+        if not params.cloud_path().exists():
+            detect(params, crop_diagonal(), use_cache=False)
+        mask = GeoTIFF.open(params.cloud_path()).read().astype(bool)
+        band = GeoTIFF.open(params.nir_path).read().astype(np.float64)
+        filled = fill_missing_portion_smooth_boundary(band.copy(), mask)
+
+        interior = mask.copy()
+        interior[0, :] = interior[-1, :] = interior[:, 0] = interior[:, -1] = False
+        np.testing.assert_array_equal(filled[~mask], band[~mask])
+        # membrane property inside the filled gaps
+        lap = (
+            np.roll(filled, 1, 0) + np.roll(filled, -1, 0)
+            + np.roll(filled, 1, 1) + np.roll(filled, -1, 1) - 4 * filled
+        )
+        # scale-aware: band values are u16-magnitude, residual is relative
+        assert np.abs(lap[interior]).max() < 1e-6 * band.max()
+        # filled values stay within the scene's radiometric range
+        assert filled.min() >= 0
+        assert filled.max() <= band.max() * 1.01
