@@ -11,17 +11,40 @@ def make_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...]) -> Mesh:
     return jax.make_mesh(shape, axis_names)
 
 
-def spatial_band_mesh(n_devices: int | None = None) -> Mesh:
+def spatial_band_mesh(
+    n_devices: int | None = None,
+    shape: tuple[int, int] | None = None,
+) -> Mesh:
     """A ('b', 'x') mesh: band (data-parallel) axis x spatial (row) axis.
 
-    Splits devices as evenly as possible, favouring the spatial axis — the
-    halo-exchange stencil rides ICI while bands are embarrassingly parallel.
+    Splits devices favouring the spatial axis — the halo-exchange stencil
+    rides ICI while bands are embarrassingly parallel, and a longer spatial
+    axis means thinner halos per shard. Policy: the band axis is the largest
+    divisor of n_devices that is <= sqrt(n_devices) and <= 4 (bands saturate
+    quickly: 13 Sentinel-2 bands don't split past 4 usefully), so the spatial
+    axis always gets at least its square-root share. Pass `shape=(b, x)` to
+    override the heuristic entirely.
     """
     if n_devices is None:
         n_devices = len(jax.devices())
-    b = 1
-    for cand in (4, 2, 1):
+    if shape is not None:
+        b, x = shape
+        if b * x != n_devices:
+            raise ValueError(
+                f"mesh shape {shape} does not cover {n_devices} devices"
+            )
+        return jax.make_mesh((b, x), ("b", "x"))
+    b, x = split_band_spatial(n_devices)
+    return jax.make_mesh((b, x), ("b", "x"))
+
+
+def split_band_spatial(n_devices: int) -> tuple[int, int]:
+    """The default (b, x) split: largest band divisor <= min(4, sqrt(n)).
+
+    Pure policy function so odd device counts are testable without
+    provisioning that many devices (see spatial_band_mesh docstring).
+    """
+    for cand in (4, 3, 2):
         if n_devices % cand == 0 and n_devices // cand >= cand:
-            b = cand
-            break
-    return jax.make_mesh((b, n_devices // b), ("b", "x"))
+            return cand, n_devices // cand
+    return 1, n_devices

@@ -42,6 +42,37 @@ def problem(mesh, c=4, h=64, w=48, seed=0):
     )
 
 
+class TestMeshPolicy:
+    def test_split_prefers_spatial_axis(self):
+        from satellite_approximation_tpu.parallel.mesh import split_band_spatial
+
+        for n in (1, 2, 3, 4, 6, 8, 12, 16, 24, 5, 7):
+            b, x = split_band_spatial(n)
+            assert b * x == n
+            assert x >= b, f"spatial axis must dominate: n={n} -> ({b},{x})"
+            assert b <= 4
+        assert split_band_spatial(12) == (3, 4)
+        assert split_band_spatial(8) == (2, 4)
+        assert split_band_spatial(3) == (1, 3)
+
+    def test_explicit_shape_override(self):
+        from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+
+        m = spatial_band_mesh(8, shape=(1, 8))
+        assert m.shape == {"b": 1, "x": 8}
+        m = spatial_band_mesh(6, shape=(2, 3))
+        assert m.shape == {"b": 2, "x": 3}
+        with pytest.raises(ValueError):
+            spatial_band_mesh(8, shape=(2, 3))
+
+    @pytest.mark.parametrize("n", [2, 3, 4, 6, 8])
+    def test_builds_for_odd_counts(self, n):
+        from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+
+        m = spatial_band_mesh(n)
+        assert m.shape["b"] * m.shape["x"] == n
+
+
 class TestShardedCG:
     def test_matches_single_device(self, mesh):
         b_s, x0_s, um_s, deg_s, b, umask, deg = problem(mesh)
