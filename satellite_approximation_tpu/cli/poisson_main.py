@@ -42,14 +42,15 @@ def main(argv: list[str] | None = None) -> int:
 
     result = blend_images_poisson(inputs, replacement, invalid_mask=mask)
 
+    # One multi-band file, matching the reference's GeoTiffWriter output
+    # (poisson-main.cpp:66-71 writes all 5 bands into a single GeoTIFF).
     out_dir = input_path.parent / "poisson_simple_replace"
     out_dir.mkdir(exist_ok=True)
-    for i, band in enumerate(bands):
-        write_geotiff(
-            np.asarray(result)[i].astype(np.float32),
-            out_dir / f"{input_path.stem}_band{band}.tif",
-            template_path=input_path,
-        )
+    write_geotiff(
+        np.asarray(result).astype(np.float32),
+        out_dir / input_path.name,
+        template_path=input_path,
+    )
     return 0
 
 

@@ -8,7 +8,6 @@ padding the masked operator wants at the image boundary.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -83,8 +83,15 @@ class GeoTIFF:
         path = Path(path)
         try:
             im = Image.open(path)
+            im.load()
         except Exception as e:  # noqa: BLE001
-            raise IOError_(f"Failed to open GeoTIFF: {e}", path) from e
+            # PIL has no mode for N-band planar rasters (the format our
+            # multi-band writer and GDAL produce) — fall back to the
+            # minimal parser.
+            try:
+                return cls._open_multiband(path)
+            except Exception:  # noqa: BLE001
+                raise IOError_(f"Failed to open GeoTIFF: {e}", path) from e
         frames = []
         tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
         try:
@@ -111,6 +118,20 @@ class GeoTIFF:
             geo_transform=gt,
             tags=tags,
             _frames=frames,
+        )
+
+    @classmethod
+    def _open_multiband(cls, path: Path) -> "GeoTIFF":
+        from .tiffmb import read_multiband_tiff
+
+        arr, tags = read_multiband_tiff(path)
+        return cls(
+            path=path,
+            width=arr.shape[2],
+            height=arr.shape[1],
+            geo_transform=_geotransform_from_tags(tags),
+            tags=tags,
+            _frames=list(arr),
         )
 
     # ----- reads (geotiff.h:234-273; band index is 1-based like GDAL) -----
@@ -234,12 +255,23 @@ def write_geotiff(
     template_path: Path | str | None = None,
     compression: str | None = "tiff_adobe_deflate",
 ) -> None:
-    """Write a (H, W) array as a GeoTIFF, copying geo metadata from a
-    template file — the reference's GeoTiffWriter CreateCopy semantics
-    (geotiff.h:98-195, used at automatic_detection.cpp:106-108, 217-233)."""
+    """Write a (H, W) or (C, H, W) array as a GeoTIFF, copying geo metadata
+    from a template file — the reference's GeoTiffWriter CreateCopy
+    semantics, incl. its multi-band variant (geotiff.h:98-195, used at
+    automatic_detection.cpp:106-108, 217-233 and poisson-main.cpp:66-71).
+
+    2-D writes go through PIL (compressed); 3-D writes produce one planar
+    multi-band TIFF via the minimal codec (uncompressed)."""
     values = np.asarray(values)
+    if values.ndim == 3:
+        from .tiffmb import write_multiband_tiff
+
+        write_multiband_tiff(
+            values, output_path, extra_tags=_geo_tags_from_template(template_path)
+        )
+        return
     if values.ndim != 2:
-        raise IOError_(f"write_geotiff expects a 2-D array, got shape {values.shape}")
+        raise IOError_(f"write_geotiff expects a 2-D or 3-D array, got shape {values.shape}")
     im = Image.fromarray(values)
 
     info = TiffImagePlugin.ImageFileDirectory_v2()
@@ -256,3 +288,38 @@ def write_geotiff(
     if compression:
         kwargs["compression"] = compression
     im.save(Path(output_path), format="TIFF", **kwargs)
+
+
+def _geo_tags_from_template(
+    template_path: Path | str | None,
+) -> list[tuple[int, int, object]]:
+    """(tag, tiff_type, value) triples of a template's geo tags, for the
+    minimal multi-band writer."""
+    if template_path is None:
+        return []
+    out = []
+    try:
+        with Image.open(template_path) as tmpl:
+            ttags = tmpl.tag_v2
+            for tag in GEO_TAGS:
+                if tag in ttags:
+                    ftype = ttags.tagtype.get(tag, 12)
+                    val = ttags[tag]
+                    if isinstance(val, TiffImagePlugin.IFDRational):
+                        val = float(val)
+                    out.append((tag, ftype, val))
+    except Exception:  # noqa: BLE001
+        # The template may itself be a multi-band planar file PIL can't
+        # open; pull tags via the minimal parser (types are fixed per tag).
+        from .tiffmb import read_multiband_tiff
+
+        _GEO_TAG_TYPES = {
+            MODEL_PIXEL_SCALE: 12, MODEL_TIEPOINT: 12, MODEL_TRANSFORMATION: 12,
+            GEO_KEY_DIRECTORY: 3, GEO_DOUBLE_PARAMS: 12, GEO_ASCII_PARAMS: 2,
+            GDAL_METADATA: 2, GDAL_NODATA: 2,
+        }
+        _, tags = read_multiband_tiff(template_path)
+        for tag in GEO_TAGS:
+            if tag in tags:
+                out.append((tag, _GEO_TAG_TYPES[tag], tags[tag]))
+    return out

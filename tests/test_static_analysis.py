@@ -1,0 +1,227 @@
+"""Static-analysis harness — the reference wires cppcheck, clang-tidy and
+ASan/UBSan builds into its CMake presets (/root/reference/CMakePresets.json:33-47,
+ci-sanitize block). This is the rebuild's equivalent, built from the tools
+actually present in the image:
+
+* a stdlib-AST lint over every package source (unused imports, mutable
+  default args, bare excepts, f-strings without placeholders, `== None`,
+  duplicate top-level defs) — the pyflakes subset that catches real rot;
+* `-Wall -Wextra -Werror` and ASan+UBSan builds of the native C++, with the
+  sanitized binary exercised on its real entry points.
+
+ruff/mypy configs are shipped in pyproject.toml for environments that have
+the tools; when present they run here too.
+"""
+
+from __future__ import annotations
+
+import ast
+import ctypes
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+PKG = Path(__file__).resolve().parent.parent / "satellite_approximation_tpu"
+REPO = PKG.parent
+
+SOURCES = sorted(PKG.rglob("*.py")) + [
+    REPO / "bench.py",
+    REPO / "__graft_entry__.py",
+]
+
+
+class _Lint(ast.NodeVisitor):
+    def __init__(self, tree: ast.AST, source: str) -> None:
+        self.problems: list[str] = []
+        self.imported: dict[str, int] = {}
+        self.used: set[str] = set()
+        self.toplevel_defs: dict[str, int] = {}
+        self.source = source
+        self.visit(tree)
+        for name, lineno in self.imported.items():
+            if name not in self.used and not name.startswith("_"):
+                self.problems.append(f"{lineno}: unused import '{name}'")
+
+    # --- imports and usage tracking ---
+    def visit_Import(self, node: ast.Import) -> None:
+        for a in node.names:
+            name = (a.asname or a.name).split(".")[0]
+            self.imported[name] = node.lineno
+
+    def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+        if node.module == "__future__":
+            return
+        for a in node.names:
+            if a.name == "*":
+                continue
+            self.imported[a.asname or a.name] = node.lineno
+
+    def visit_Name(self, node: ast.Name) -> None:
+        if isinstance(node.ctx, ast.Load):
+            self.used.add(node.id)
+
+    def visit_Attribute(self, node: ast.Attribute) -> None:
+        self.generic_visit(node)
+
+    # --- defect patterns ---
+    def _check_defaults(self, node) -> None:
+        for d in list(node.args.defaults) + list(node.args.kw_defaults):
+            if isinstance(d, (ast.List, ast.Dict, ast.Set)):
+                self.problems.append(
+                    f"{node.lineno}: mutable default argument in '{node.name}'"
+                )
+
+    def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
+        self._check_defaults(node)
+        self.generic_visit(node)
+
+    def visit_AsyncFunctionDef(self, node: ast.AsyncFunctionDef) -> None:
+        self._check_defaults(node)
+        self.generic_visit(node)
+
+    def visit_ExceptHandler(self, node: ast.ExceptHandler) -> None:
+        if node.type is None:
+            self.problems.append(f"{node.lineno}: bare 'except:'")
+        self.generic_visit(node)
+
+    def visit_Compare(self, node: ast.Compare) -> None:
+        for op, comp in zip(node.ops, node.comparators):
+            if isinstance(op, (ast.Eq, ast.NotEq)) and (
+                isinstance(comp, ast.Constant) and comp.value is None
+            ):
+                self.problems.append(f"{node.lineno}: use 'is None', not '== None'")
+        self.generic_visit(node)
+
+    def visit_JoinedStr(self, node: ast.JoinedStr) -> None:
+        if not any(isinstance(v, ast.FormattedValue) for v in node.values):
+            self.problems.append(f"{node.lineno}: f-string without placeholders")
+        self.generic_visit(node)
+
+    def visit_FormattedValue(self, node: ast.FormattedValue) -> None:
+        # Do not descend into format specs — they are JoinedStr nodes made
+        # of constants and would false-positive the check above.
+        self.visit(node.value)
+
+
+def _module_lint(path: Path) -> list[str]:
+    src = path.read_text()
+    tree = ast.parse(src, filename=str(path))
+    lint = _Lint(tree, src)
+    if path.name == "__init__.py":
+        # Re-export modules: names in __all__ (or simply re-exported) are
+        # used by importers, not locally.
+        lint.problems = [p for p in lint.problems if "unused import" not in p]
+    # duplicate top-level defs shadow silently
+    seen: dict[str, int] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            if node.name in seen:
+                lint.problems.append(
+                    f"{node.lineno}: duplicate top-level def '{node.name}' "
+                    f"(first at {seen[node.name]})"
+                )
+            seen[node.name] = node.lineno
+    return [f"{path.relative_to(REPO)}:{p}" for p in lint.problems]
+
+
+class TestPythonLint:
+    def test_all_sources_parse_and_lint_clean(self):
+        assert len(SOURCES) > 30, "source discovery broke"
+        problems: list[str] = []
+        for path in SOURCES:
+            problems.extend(_module_lint(path))
+        assert not problems, "lint findings:\n" + "\n".join(problems)
+
+    def test_ruff_if_available(self):
+        if shutil.which("ruff") is None:
+            pytest.skip("ruff not installed in this image")
+        res = subprocess.run(
+            ["ruff", "check", str(PKG)], capture_output=True, text=True
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+
+    def test_mypy_if_available(self):
+        if shutil.which("mypy") is None:
+            pytest.skip("mypy not installed in this image")
+        res = subprocess.run(
+            ["mypy", str(PKG)], capture_output=True, text=True
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+
+
+NATIVE_SRC = PKG / "native" / "src" / "satnative.cpp"
+
+
+class TestNativeSanitizers:
+    """The reference's ci-sanitize/-Werror presets, applied to our C++."""
+
+    def test_warnings_as_errors(self, tmp_path):
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        res = subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             "-Wall", "-Wextra", "-Werror", "-Wshadow", "-Wconversion",
+             str(NATIVE_SRC), "-o", str(tmp_path / "strict.so")],
+            capture_output=True, text=True, timeout=180,
+        )
+        assert res.returncode == 0, res.stderr
+
+    def test_asan_ubsan_run(self, tmp_path):
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        so = tmp_path / "san.so"
+        res = subprocess.run(
+            ["g++", "-O1", "-g", "-shared", "-fPIC", "-std=c++17",
+             "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+             str(NATIVE_SRC), "-o", str(so)],
+            capture_output=True, text=True, timeout=180,
+        )
+        assert res.returncode == 0, res.stderr
+        # Drive both native entry points under the sanitizers in a child
+        # process (ASan must be loaded first, so not in-process here).
+        code = f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({str(so)!r})
+h, w = 64, 57
+rng = np.random.default_rng(0)
+mask = (rng.random((h, w)) > 0.4).astype(np.uint8)
+labels = np.zeros(h * w, np.int32)
+lib.flood_partition.restype = ctypes.c_int32
+n = lib.flood_partition(
+    mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    ctypes.c_int32(h), ctypes.c_int32(w), ctypes.c_int32(1),
+    labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+assert n >= 1
+surf = rng.random((256, 256)).astype(np.float32)
+holes = (rng.random((256, 256)) > 0.9).astype(np.uint8)
+surf[holes.astype(bool)] = 0
+lib.hole_fill(
+    surf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    holes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    ctypes.c_int32(256))
+assert np.isfinite(surf).all()
+print("SANITIZED-OK")
+"""
+        env = {"PATH": "/usr/bin:/bin", "ASAN_OPTIONS": "detect_leaks=0",
+               "LD_PRELOAD": _asan_rt() or ""}
+        run = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300, env=env,
+        )
+        assert "SANITIZED-OK" in run.stdout, run.stdout + run.stderr
+
+
+def _asan_rt() -> str | None:
+    """Path of libasan for LD_PRELOAD (python itself isn't sanitized)."""
+    try:
+        out = subprocess.run(
+            ["g++", "-print-file-name=libasan.so"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return out if out and "/" in out else None
+    except Exception:  # noqa: BLE001
+        return None

@@ -77,6 +77,37 @@ class TestGeoTIFF:
         assert GeoTIFF.value_domain(v) == (-32768.0, 5.0)
         assert GeoTIFF.dem_value_domain(v) == (1.0, 5.0)
 
+    def test_multiband_write_roundtrip(self, tmp_path):
+        """The reference's multi-band GeoTiffWriter variant (geotiff.h:98-195,
+        poisson-main.cpp:66-71 writes one 5-band file)."""
+        rng = np.random.default_rng(7)
+        data = rng.random((5, 23, 17)).astype(np.float32)
+        out = tmp_path / "multi.tif"
+        write_geotiff(data, out, template_path=f"{REF_SCENE}/B08.tif")
+        t = GeoTIFF.open(out)
+        assert t.num_bands == 5
+        np.testing.assert_array_equal(t.read_all(), data)
+        np.testing.assert_array_equal(t.read(3), data[2])
+        ref = GeoTIFF.open(f"{REF_SCENE}/B08.tif")
+        assert t.geo_transform == pytest.approx(ref.geo_transform)
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float64])
+    def test_multiband_dtypes(self, tmp_path, dtype):
+        rng = np.random.default_rng(3)
+        data = (rng.random((3, 9, 11)) * 200).astype(dtype)
+        out = tmp_path / f"mb_{np.dtype(dtype).name}.tif"
+        write_geotiff(data, out)
+        t = GeoTIFF.open(out)
+        got = t.read_all()
+        assert got.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(got, data)
+
+    def test_multiband_single_band_degenerate(self, tmp_path):
+        data = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        out = tmp_path / "one.tif"
+        write_geotiff(data, out)
+        np.testing.assert_array_equal(GeoTIFF.open(out).read(), data[0])
+
 
 class TestImageio:
     def test_gamma_roundtrip(self, tmp_path):
