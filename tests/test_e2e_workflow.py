@@ -138,11 +138,14 @@ class TestCLI:
         repl[0].save(tmp_path / "repl.tif", save_all=True, append_images=repl[1:])
 
         assert main([str(tmp_path / "input.tif"), str(tmp_path / "repl.tif")]) == 0
+        # One 5-band file, like the reference executable
+        # (poisson-main.cpp:66-71 writes a single multi-band GeoTIFF).
         out_dir = tmp_path / "poisson_simple_replace"
         outs = sorted(out_dir.glob("*.tif"))
-        assert len(outs) == 5
-        first = GeoTIFF.open(outs[0]).read()
-        assert first.shape == (h, w)
+        assert len(outs) == 1
+        t = GeoTIFF.open(outs[0])
+        assert t.num_bands == 5
+        assert t.read_all().shape == (5, h, w)
 
     def test_cloud_detection_main(self, tmp_path):
         from satellite_approximation_tpu.cli.cloud_detection_main import main
