@@ -66,9 +66,13 @@ def bench_ours(b, umask, deg, x0):
         return res
 
     solve_once()  # warmup/compile
-    t0 = time.perf_counter()
-    res = solve_once()
-    dt = time.perf_counter() - t0
+    # best-of-3: the tunneled-TPU runtime shows ±20-50% run-to-run latency
+    # noise; the minimum is the cleanest estimate of device capability
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_once()
+        dt = min(dt, time.perf_counter() - t0)
     assert res.error <= TOL * 1.01, f"residual {res.error} missed tolerance"
     return dt, res.iterations, res.error
 

@@ -1,7 +1,11 @@
 """Full-tile fill benchmark (BASELINE config #4): 10980x10980 Sentinel-2
-scale masked fill via band-chunked multigrid.
+scale masked fill via the device-first laplace_fill path.
 
     python benchmarks/bench_fulltile.py [n_bands]
+
+Reports ingest (H2D over the tunnel; on a real TPU VM this is PCIe) and
+solve separately — the solve number is the hardware capability, the ingest
+number is this host's tunnel bandwidth.
 """
 
 import json
@@ -16,10 +20,9 @@ import numpy as np
 
 def main():
     import satellite_approximation_tpu  # noqa: F401  (enables x64)
+    import jax
     import jax.numpy as jnp
-    from satellite_approximation_tpu.models import multigrid
-    from satellite_approximation_tpu.models.cg import solve_banded_chunks
-    import functools
+    from satellite_approximation_tpu.models.fill import laplace_fill
 
     bands = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     H = W = 10980
@@ -31,26 +34,43 @@ def main():
         ry, rx = rng.integers(30, 300), rng.integers(30, 300)
         m |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
     m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
+    img = rng.random((bands, H, W), dtype=np.float32)
 
-    img = rng.random((bands, H, W), dtype=np.float32).astype(np.float64)
-    known = img * (~m)
-    p = np.pad(known, ((0, 0), (1, 1), (1, 1)))
-    b = (
-        p[:, 0:H, 1 : W + 1] + p[:, 2 : H + 2, 1 : W + 1]
-        + p[:, 1 : H + 1, 0:W] + p[:, 1 : H + 1, 2 : W + 2]
-    ) * m
-
-    solver = functools.partial(
-        multigrid.solve, umask=m, tolerance=1e-6, refinement_steps=3,
-        device_output=True,
-    )
-    # warmup single band (compile)
-    r0 = solver(b[:1], x0=(img * m)[:1])
-    _ = float(r0.x.sum())
-
+    # single band: pre-upload (fits easily). Multi-band: the image stays on
+    # the host; laplace_fill streams chunk uploads with one-ahead prefetch
+    # and reports transfer-wait vs solve time separately (this host's
+    # tunnel H2D is ~10-45 MB/s; a real TPU VM's PCIe makes it negligible).
     t0 = time.perf_counter()
-    res = solve_banded_chunks(solver, b, x0=img * m)
+    if bands == 1:
+        img = jnp.asarray(img)
+        _ = float(img[:, ::997, ::997].sum())
+    m_j = jnp.asarray(m)
+    _ = float(m_j[::997, ::997].sum())
+    ingest = time.perf_counter() - t0
+
+    # warmup: compile all executables on band 0 (compile cache persists)
+    r0 = laplace_fill(img[:1], m_j, tolerance=1e-6, refinement_steps=3)
+    _ = float(r0.x.sum())
+    del r0
+
+    # multi-band workloads stream each filled band to a consumer — one
+    # chip's HBM can't hold a 13-band f32 output plus solver state. The
+    # sink here reduces to per-band checksums (device sync included).
+    sums = []
+
+    def sink(s, e, chunk):
+        sums.append(float(chunk.sum()))
+
+    stats = {}
+    t0 = time.perf_counter()
+    res = laplace_fill(
+        img, m_j, tolerance=1e-6, refinement_steps=3,
+        band_sink=sink if bands > 1 else None, stats=stats,
+    )
+    if res.x is not None:
+        _ = float(res.x.sum())  # device sync (block_until_ready unreliable on axon)
     dt = time.perf_counter() - t0
+    assert bands == 1 or (len(sums) == bands and all(np.isfinite(sums)))
     print(
         json.dumps(
             {
@@ -58,6 +78,9 @@ def main():
                 "value": round(dt, 2),
                 "unit": "s",
                 "bands": bands,
+                "ingest_s": round(ingest, 2),
+                "solve_s": round(stats.get("solve_s", dt), 2),
+                "transfer_wait_s": round(stats.get("transfer_wait_s", 0.0), 2),
                 "masked_mpix_per_s": round(m.sum() * bands / dt / 1e6, 3),
                 "iterations": res.iterations,
                 "rel_residual": res.error,

@@ -41,6 +41,78 @@ _PRE_SMOOTH = 6
 _POST_SMOOTH = 6
 _COARSE_ITERS = 64
 _MIN_SIZE = 24
+# see the inner_tol comment in solve(): per-pass f32 CG stops here and the
+# f64 outer loop carries the rest
+INNER_TOL_FLOOR = 1e-4
+# V-cycle working dtype (see _pcg_run). None = size-adaptive: bf16's halved
+# HBM traffic wins at moderate grids, but its contraction degrades with
+# grid size (A/B, benchmarks/ab_*: 2048^2x13 bf16 0.75s/13it vs f32 0.89s/
+# 12it; 10980^2 bf16 3.48s/37it vs f32 3.06s/21it) — crossover ~4k.
+PRECOND_DTYPE = None
+
+
+def _precond_dtype_for(shape: tuple[int, int]):
+    if PRECOND_DTYPE is not None:
+        return PRECOND_DTYPE
+    return jnp.float32 if max(shape) > 4096 else jnp.bfloat16
+
+
+def _neighbor_degree_traced(h: int, w: int) -> jnp.ndarray:
+    """neighbor_degree computed on device (no 480MB H2D per level)."""
+    ii = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    edge = (
+        (ii == 0).astype(jnp.float32)
+        + (ii == h - 1).astype(jnp.float32)
+        + (jj == 0).astype(jnp.float32)
+        + (jj == w - 1).astype(jnp.float32)
+    )
+    return 4.0 - edge
+
+
+def _anypool(m: jnp.ndarray) -> jnp.ndarray:
+    h, w = m.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    mp = jnp.pad(m, ((0, ph - h), (0, pw - w)))
+    return mp.reshape(ph // 2, 2, pw // 2, 2).any(axis=(1, 3))
+
+
+@jax.jit
+def _build_levels_device(m0: jnp.ndarray):
+    """Coarse (umask, deg) levels computed entirely on device — the exact
+    device analog of :func:`build_hierarchy` minus level 0 (which keeps the
+    caller's mask/deg). The saturation rule (any-pooling swallowing every
+    known cell → deg=4 ladder) folds into a traced flag instead of a host
+    branch: once saturated, any-pool keeps the mask all-true by itself, so
+    only the degree choice needs the flag."""
+    out = []
+    m = m0
+    sat = jnp.asarray(False)
+    while min(m.shape) > _MIN_SIZE:
+        m2 = _anypool(m)
+        sat = jnp.logical_or(sat, m2.all())
+        h2, w2 = m2.shape
+        deg2 = jnp.where(
+            sat, jnp.full((h2, w2), 4.0, jnp.float32), _neighbor_degree_traced(h2, w2)
+        )
+        out.append((m2, deg2))
+        m = m2
+    return tuple(out)
+
+
+@jax.jit
+def _mask_fingerprint_device(m: jnp.ndarray):
+    """Three independent reductions — one tiny D2H fetch keys the hierarchy
+    cache for device-resident masks (a wrong coarse hierarchy would only
+    weaken the preconditioner; correctness is guarded by the outer f64
+    residual loop)."""
+    mf = m.astype(jnp.float64)
+    s0 = jnp.sum(mf)
+    ii = lax.broadcasted_iota(jnp.int32, m.shape, 0).astype(jnp.float64)
+    jj = lax.broadcasted_iota(jnp.int32, m.shape, 1).astype(jnp.float64)
+    s1 = jnp.sum(mf * ii)
+    s2 = jnp.sum(mf * (jj % 8191.0))
+    return s0, s1, s2
 
 
 def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
@@ -188,20 +260,25 @@ def _v_cycle(levels_j, b, u, lvl):
     return u
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
-def _pcg_run(b, x0, tol, levels_j, max_iterations):
+@functools.partial(jax.jit, static_argnames=("max_iterations", "precond_dtype"))
+def _pcg_run(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
     """MG-preconditioned CG over (..., H, W) batches. ``levels_j`` is a
     pytree of (umask, deg) per level, passed as traced arguments so the
     compilation caches on *shapes* — new cloud masks reuse the executable."""
     um0, deg0 = levels_j[0]
-    # the V-cycle is only a preconditioner: run it in bf16 (half the HBM
-    # traffic, ~same VPU ops) — measured to cost zero extra PCG iterations;
-    # flexible PCG absorbs the low-precision application
-    levels_16 = tuple((m_, d_.astype(jnp.bfloat16)) for m_, d_ in levels_j)
+    # the V-cycle is only a preconditioner and could in principle run at
+    # reduced precision (half the HBM traffic) — but A/B measurement
+    # (benchmarks/ab_precond.py) shows bf16 rounding wrecks the cycle's
+    # contraction: 89 vs 23 PCG iterations at 2048^2, 29 vs 17 at 10980^2,
+    # and bf16 loses on wall clock at both sizes. Default is f32.
+    levels_16 = tuple((m_, d_.astype(precond_dtype)) for m_, d_ in levels_j)
 
     def precond(r):
         z16 = _v_cycle(
-            levels_16, r.astype(jnp.bfloat16), jnp.zeros(r.shape, jnp.bfloat16), 0
+            levels_16,
+            r.astype(precond_dtype),
+            jnp.zeros(r.shape, precond_dtype),
+            0,
         )
         return z16.astype(r.dtype)
 
@@ -253,19 +330,27 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations):
 _HIERARCHY_CACHE: dict = {}
 
 
-def _device_hierarchy(umask_np: np.ndarray, deg: np.ndarray):
-    key = (
-        umask_np.shape,
-        hash(umask_np.tobytes()),
-        deg.shape,
-        hash(np.asarray(deg, np.float32).tobytes()),
-    )
+def _device_hierarchy(umask, deg):
+    """(umask, deg) per level as device arrays. Coarse levels are computed
+    on device (no per-level uploads); the cache key is a host hash for
+    numpy masks or a device fingerprint (one scalar fetch) for device
+    masks."""
+    if isinstance(umask, np.ndarray):
+        key = (umask.shape, hash(umask.tobytes()))
+        umask_j = None
+    else:
+        umask_j = umask
+        fp = _mask_fingerprint_device(umask_j)
+        key = (umask_j.shape,) + tuple(float(s) for s in fp)
+    deg_j = jnp.asarray(deg, jnp.float32)
     cached = _HIERARCHY_CACHE.get(key)
     if cached is not None:
-        return cached
-    levels = build_hierarchy(umask_np, deg)
-    levels = [(levels[0][0], deg)] + levels[1:]
-    levels_j = tuple((jnp.asarray(m), jnp.asarray(d)) for m, d in levels)
+        # coarse levels depend on the mask alone; level 0 carries the
+        # caller's deg
+        return ((cached[0][0], deg_j),) + cached[1:]
+    if umask_j is None:
+        umask_j = jnp.asarray(umask, bool)
+    levels_j = ((umask_j, deg_j),) + tuple(_build_levels_device(umask_j))
     if len(_HIERARCHY_CACHE) > 8:
         _HIERARCHY_CACHE.clear()
     _HIERARCHY_CACHE[key] = levels_j
@@ -288,16 +373,23 @@ def solve(
     squeeze = b64_j.ndim == 2
     if squeeze:
         b64_j = b64_j[None]
-    umask_np = np.asarray(umask, bool)
+    if isinstance(umask, np.ndarray):
+        umask = np.asarray(umask, bool)
     if deg is None:
-        deg = neighbor_degree(umask_np.shape)
-    deg = np.asarray(deg, np.float32)
+        # computed on device: no 4-byte-per-pixel H2D for the default case
+        h, w = umask.shape
+        deg = jax.jit(_neighbor_degree_traced, static_argnums=(0, 1))(h, w)
     # note: the hierarchy rediscretizes with full in-image degrees; a custom
     # fine-level deg only affects the fine operator
-    levels_j = _device_hierarchy(umask_np, deg)
+    levels_j = _device_hierarchy(umask, deg)
+
+    pdtype = _precond_dtype_for(umask.shape)
 
     def solver(bb, xx0, tol):
-        return _pcg_run(bb, xx0, tol, levels_j, max_iterations=max_iterations)
+        return _pcg_run(
+            bb, xx0, tol, levels_j,
+            max_iterations=max_iterations, precond_dtype=pdtype,
+        )
 
     from .cg import _residual64_device, _accumulate64
 
@@ -321,7 +413,12 @@ def solve(
         if np.all(rnorm <= np.maximum(target, 1e-300)):
             break
         needed = np.min(target / np.maximum(rnorm, 1e-300))
-        inner_tol = float(np.clip(0.5 * needed, 5e-8, 0.5))
+        # floor the inner tolerance: driving f32 CG far below ~1e-4 against
+        # a finite-precision preconditioner grinds iterations near its noise
+        # floor (mask-dependent; measured up to 89 vs 23 iterations at
+        # 2048^2). The outer f64 refinement recovers the remaining digits
+        # in one or two cheap extra passes.
+        inner_tol = float(np.clip(0.5 * needed, INNER_TOL_FLOOR, 0.5))
         d, iters, _ = solver(
             r64_j.astype(jnp.float32),
             jnp.zeros(r64_j.shape, jnp.float32),

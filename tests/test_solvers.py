@@ -221,3 +221,105 @@ class TestMultigrid:
         assert levels[1][0].shape == (50, 70)
         # any-pooling: coarse mask covers the fine mask footprint
         assert levels[1][0][5:45, 5:60].all()
+
+
+class TestDeviceHierarchy:
+    """The on-device hierarchy builder must reproduce the host builder
+    exactly (multigrid._build_levels_device vs build_hierarchy)."""
+
+    @pytest.mark.parametrize(
+        "shape,seed", [((130, 97), 0), ((256, 256), 1), ((77, 530), 2)]
+    )
+    def test_matches_host_builder(self, shape, seed):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import multigrid
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(seed)
+        m = rng.random(shape) > 0.6
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
+        host = multigrid.build_hierarchy(m, neighbor_degree(shape))
+        dev = multigrid._build_levels_device(jnp.asarray(m))
+        assert len(host) - 1 == len(dev)
+        for k, (hm, hd) in enumerate(host[1:]):
+            np.testing.assert_array_equal(np.asarray(dev[k][0]), hm)
+            np.testing.assert_allclose(np.asarray(dev[k][1]), hd)
+
+    def test_saturating_mask_ladder(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import multigrid
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        m = np.ones((300, 300), bool)
+        m[0, 0] = False
+        host = multigrid.build_hierarchy(m, neighbor_degree(m.shape))
+        dev = multigrid._build_levels_device(jnp.asarray(m))
+        for k, (hm, hd) in enumerate(host[1:]):
+            np.testing.assert_array_equal(np.asarray(dev[k][0]), hm)
+            np.testing.assert_allclose(np.asarray(dev[k][1]), hd)
+
+
+class TestLaplaceFill:
+    """Device-first full-tile fill path (models/fill.py)."""
+
+    def _problem(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((5, 96, 80)).astype(np.float32)
+        m = np.zeros((96, 80), bool)
+        m[20:70, 15:60] = True
+        return img, m
+
+    def test_matches_host_assembled_solve(self):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+        from satellite_approximation_tpu.models.cg import solve_masked_poisson
+
+        img, m = self._problem()
+        r = laplace_fill(img, m, tolerance=1e-8, device_output=False)
+        known = img.astype(np.float64) * (~m)
+        p = np.pad(known, ((0, 0), (1, 1), (1, 1)))
+        H, W = m.shape
+        b = (
+            p[:, 0:H, 1 : W + 1] + p[:, 2 : H + 2, 1 : W + 1]
+            + p[:, 1 : H + 1, 0:W] + p[:, 1 : H + 1, 2 : W + 2]
+        ) * m
+        oracle = solve_masked_poisson(b, m, tolerance=1e-10, refinement_steps=4)
+        expect = img * (~m) + oracle.x.astype(np.float32) * m
+        np.testing.assert_allclose(r.x, expect, atol=2e-5)
+        np.testing.assert_array_equal(r.x[:, ~m], img[:, ~m])
+        assert r.error < 1e-8
+
+    def test_chunked_equals_single(self):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+
+        img, m = self._problem()
+        whole = laplace_fill(img, m, tolerance=1e-8, device_output=False)
+        chunked = laplace_fill(
+            img, m, tolerance=1e-8, device_output=False,
+            max_chunk_elements=2 * 96 * 80,
+        )
+        np.testing.assert_allclose(chunked.x, whole.x, atol=1e-6)
+
+    def test_band_sink_streams_all_chunks(self):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+
+        img, m = self._problem()
+        got = {}
+
+        def sink(s, e, chunk):
+            got[(s, e)] = np.asarray(chunk)
+
+        r = laplace_fill(
+            img, m, tolerance=1e-8, max_chunk_elements=2 * 96 * 80,
+            band_sink=sink,
+        )
+        assert r.x is None
+        whole = laplace_fill(img, m, tolerance=1e-8, device_output=False)
+        stitched = np.concatenate([got[k] for k in sorted(got)], axis=0)
+        np.testing.assert_allclose(stitched, whole.x, atol=1e-6)
+
+    def test_2d_squeeze(self):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+
+        img, m = self._problem()
+        r = laplace_fill(img[0], m, tolerance=1e-7, device_output=False)
+        assert r.x.shape == m.shape
