@@ -239,6 +239,59 @@ def _bucket_size(n: int) -> int:
     return _BUCKETS[-1]
 
 
+def _match_native(
+    clouds, cloud_map, cloud_mask, potential_shadow, config,
+    a2, delta, mnx, mxx, mny, mxy, m_all,
+    heights, solutions, shadows, shadow_mask_flipped,
+):
+    """Per-cloud 473-height scan on the native backend (exact per-height
+    bounding boxes — no bucket padding)."""
+    from ... import native
+
+    hgt, wdt = cloud_mask.shape
+    cmask_f = np.ascontiguousarray(np.flipud(np.asarray(cloud_mask, bool)))
+    psm_f = np.ascontiguousarray(np.flipud(np.asarray(potential_shadow, bool)))
+    cmap_f = np.ascontiguousarray(np.flipud(np.asarray(cloud_map, np.int32)))
+
+    for k, cloud in enumerate(clouds):
+        cid = cloud.id
+        sims = native.cloud_sweep(
+            cmask_f, psm_f, cmap_f, wdt, hgt, cid,
+            mnx[k], mny[k], mxx[k], mxy[k], a2[k], delta[k],
+            config.min_support_pixels,
+        )
+        hsel = int(np.argmax(sims))  # first max, like `>` keeps first
+        best = float(sims[hsel])
+        if best < config.min_similarity:
+            solutions[cid] = OptimalSolution(
+                height=0.0, similarity=-1.0, M=np.eye(4), id=cid
+            )
+            shadows[cid] = ShadowObject(
+                id=cid, bounds=None, area=0, window=None, anchor=None
+            )
+            continue
+        x0, y0 = int(mnx[k, hsel]), int(mny[k, hsel])
+        wb = int(mxx[k, hsel]) - x0 + 1
+        hb = int(mxy[k, hsel]) - y0 + 1
+        t, c, win, bx0, by0, bx1, by1 = native.cloud_detail(
+            cmask_f, psm_f, cmap_f, wdt, hgt, cid,
+            (x0, y0, int(mxx[k, hsel]), int(mxy[k, hsel])),
+            a2[k, hsel], delta[k, hsel], hb, wb,
+        )
+        solutions[cid] = OptimalSolution(
+            height=float(heights[hsel]), similarity=best, M=m_all[k, hsel], id=cid
+        )
+        shadows[cid] = ShadowObject(
+            id=cid, bounds=(bx0, by0, bx1, by1), area=c, window=win,
+            anchor=(x0, y0),
+        )
+        h_keep = min(hb, hgt - y0)
+        w_keep = min(wb, wdt - x0)
+        shadow_mask_flipped[y0 : y0 + h_keep, x0 : x0 + w_keep] |= win[
+            :h_keep, :w_keep
+        ]
+
+
 def match_clouds_shadows(
     clouds: list[CloudObject],
     cloud_map: np.ndarray,
@@ -248,8 +301,26 @@ def match_clouds_shadows(
     sun_pos: np.ndarray,
     view_pos: np.ndarray,
     config: MatchingConfig = MatchingConfig(),
+    timer=None,
+    use_native: bool | None = None,
 ) -> MatchCloudsShadowsResults:
-    """Match every cloud to its shadow (CloudShadowMatching.cpp:168-197)."""
+    """Match every cloud to its shadow (CloudShadowMatching.cpp:168-197).
+
+    Two equivalent backends (equality-tested in tests/test_detection.py):
+    the batched XLA bucket sweep, and the native C++ scan. The affine
+    back-projection gather is hostile to XLA (irregular gathers lower
+    poorly on TPU: a single 1024^2-window cloud costs ~5 s on-device vs
+    ~0.4 s native), so the native path is the default when the library is
+    available; ``use_native=False`` forces the device path.
+    """
+    if timer is None:
+        from ...utils.profiling import StageTimer
+
+        timer = StageTimer()
+    if use_native is None:
+        from ... import native
+
+        use_native = native.available()
     hgt, wdt = cloud_mask.shape
     heights = height_sweep(config)
     nh = len(heights)
@@ -258,10 +329,22 @@ def match_clouds_shadows(
     solutions: dict[int, OptimalSolution] = {}
     shadows: dict[int, ShadowObject] = {}
 
-    if clouds:
-        a2, delta, (mnx, mxx, mny, mxy), m_all = _cast_transforms(
-            clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
-        )
+    if clouds and use_native:
+        with timer.stage("matching/cast transforms"):
+            a2, delta, (mnx, mxx, mny, mxy), m_all = _cast_transforms(
+                clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
+            )
+        with timer.stage("matching/native scan"):
+            _match_native(
+                clouds, cloud_map, cloud_mask, potential_shadow, config,
+                a2, delta, mnx, mxx, mny, mxy, m_all,
+                heights, solutions, shadows, shadow_mask_flipped,
+            )
+    elif clouds:
+        with timer.stage("matching/cast transforms"):
+            a2, delta, (mnx, mxx, mny, mxy), m_all = _cast_transforms(
+                clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
+            )
 
         # flipped (bottom-origin-row) arrays, padded so dynamic_slice never clamps
         ext_x = (mxx - mnx + 1).max(axis=1)  # (Nc,)
@@ -295,27 +378,31 @@ def match_clouds_shadows(
                 a2=jnp.asarray(np.swapaxes(a2[sel], 0, 1), jnp.float32),
                 delta=jnp.asarray(np.swapaxes(delta[sel], 0, 1), jnp.float32),
             )
-            sims = np.asarray(
-                _bucket_sweep(
-                    cmask_j, psm_j, cmap_j, ids, **args,
-                    wb=wb, hb=hb, width=wdt, height=hgt,
-                    min_support=config.min_support_pixels,
-                )
-            )  # (Nh, Nsel)
+            with timer.stage(f"matching/sweep {wb}x{hb} n={len(sel)}"):
+                sims = np.asarray(
+                    _bucket_sweep(
+                        cmask_j, psm_j, cmap_j, ids, **args,
+                        wb=wb, hb=hb, width=wdt, height=hgt,
+                        min_support=config.min_support_pixels,
+                    )
+                )  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
             best_sim = sims[best_idx, np.arange(len(sel))]
 
-            detail = _bucket_detail(
-                cmask_j, psm_j, cmap_j, ids,
-                min_x=jnp.asarray(mnx[sel, best_idx], jnp.int32),
-                min_y=jnp.asarray(mny[sel, best_idx], jnp.int32),
-                max_x=jnp.asarray(mxx[sel, best_idx], jnp.int32),
-                max_y=jnp.asarray(mxy[sel, best_idx], jnp.int32),
-                a2=jnp.asarray(a2[sel, best_idx], jnp.float32),
-                delta=jnp.asarray(delta[sel, best_idx], jnp.float32),
-                wb=wb, hb=hb, width=wdt, height=hgt,
-            )
-            t_arr, c_arr, hits, bx0, by0, bx1, by1 = (np.asarray(d) for d in detail)
+            with timer.stage(f"matching/detail {wb}x{hb} n={len(sel)}"):
+                detail = _bucket_detail(
+                    cmask_j, psm_j, cmap_j, ids,
+                    min_x=jnp.asarray(mnx[sel, best_idx], jnp.int32),
+                    min_y=jnp.asarray(mny[sel, best_idx], jnp.int32),
+                    max_x=jnp.asarray(mxx[sel, best_idx], jnp.int32),
+                    max_y=jnp.asarray(mxy[sel, best_idx], jnp.int32),
+                    a2=jnp.asarray(a2[sel, best_idx], jnp.float32),
+                    delta=jnp.asarray(delta[sel, best_idx], jnp.float32),
+                    wb=wb, hb=hb, width=wdt, height=hgt,
+                )
+            with timer.stage(f"matching/detail fetch {wb}x{hb}"):
+                # one batched D2H: per-array fetches each pay a tunnel RTT
+                t_arr, c_arr, hits, bx0, by0, bx1, by1 = jax.device_get(detail)
 
             for n, k in enumerate(sel):
                 cid = clouds[k].id

@@ -124,9 +124,13 @@ def detect(
     skip_shadow_detection: SkipShadowDetection = SkipShadowDetection(),
     use_cache: bool = True,
     config: DetectionConfig = DEFAULT_DETECTION,
+    timer: "StageTimer | None" = None,
 ) -> Status | None:
     """Run the full cloud + shadow detection for one date folder
     (automatic_detection.cpp:80-236). Returns None when cached outputs exist.
+
+    ``timer``: optional StageTimer accumulating per-stage wall times (the
+    reference's spdlog stopwatches, automatic_detection.cpp:263-323).
     """
     if use_cache and params.cloud_path().exists() and params.shadow_path().exists():
         _logger.debug(
@@ -135,22 +139,29 @@ def detect(
         )
         return None
 
+    if timer is None:
+        from ...utils.profiling import StageTimer
+
+        timer = StageTimer()
     status = Status()
 
-    clp = _read_normalized_u8(params.clp_path, 255)
-    cld = _read_normalized_u8(params.cld_path, 100)
-    scl = GeoTIFF.open(params.scl_path).read()
-    nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max)
+    with timer.stage("read inputs"):
+        clp = _read_normalized_u8(params.clp_path, 255)
+        cld = _read_normalized_u8(params.cld_path, 100)
+        scl = GeoTIFF.open(params.scl_path).read()
+        nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max)
     shape = clp.shape
 
     _logger.debug(" --- Cloud Detection...")
-    generated = cm.generate_cloud_mask_ignore_low_probability(
-        clp, cld, scl, config.cloud_mask
-    )
-    status.clouds_computed = True
-    status.percent_clouds = percent_non_zero(generated.cloud_mask)
-    status.percent_invalid = status.percent_clouds
-    _write_mask(generated.cloud_mask, params.cloud_path(), params.nir_path)
+    with timer.stage("cloud mask"):
+        generated = cm.generate_cloud_mask_ignore_low_probability(
+            clp, cld, scl, config.cloud_mask
+        )
+        status.clouds_computed = True
+        status.percent_clouds = percent_non_zero(generated.cloud_mask)
+        status.percent_invalid = status.percent_clouds
+    with timer.stage("write cloud mask"):
+        _write_mask(generated.cloud_mask, params.cloud_path(), params.nir_path)
 
     if skip_shadow_detection.decision:
         if status.percent_clouds >= skip_shadow_detection.threshold:
@@ -162,66 +173,76 @@ def detect(
             return status
 
     _logger.debug(" --- Cloud Partitioning...")
-    cloud_map, clouds = cm.partition_cloud_mask(
-        generated.cloud_mask_no_processing,
-        diagonal_distance,
-        config.min_cloud_size_for_ray_casting,
-    )
+    with timer.stage("cloud partition"):
+        cloud_map, clouds = cm.partition_cloud_mask(
+            generated.cloud_mask_no_processing,
+            diagonal_distance,
+            config.min_cloud_size_for_ray_casting,
+        )
 
     _logger.debug(" --- Potential Shadow Mask Generation...")
-    psm = sm.generate_potential_shadow_mask(
-        nir, generated.cloud_mask_no_processing, scl, config.shadow_mask
-    )
+    with timer.stage("potential shadow mask"):
+        psm = sm.generate_potential_shadow_mask(
+            nir, generated.cloud_mask_no_processing, scl, config.shadow_mask
+        )
 
-    sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith")
-    sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth")
-    view_zenith = _read_angles(params.view_zenith_path, "View Zenith")
-    view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth")
+    with timer.stage("read angles"):
+        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith")
+        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth")
+        view_zenith = _read_angles(params.view_zenith_path, "View Zenith")
+        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth")
 
     _logger.debug(" --- Solving for Sun and Satellite Position...")
-    sun_grid = geometry.vector_grid(np.radians(sun_zenith), np.radians(sun_azimuth))
-    view_grid = geometry.vector_grid(np.radians(view_zenith), np.radians(view_azimuth))
-    sun_pos = geometry.ls_point_equal_to(
-        sun_grid, shape, diagonal_distance, config.distance_to_sun_km
-    )
-    view_pos = geometry.ls_point_equal_to(
-        view_grid, shape, diagonal_distance, config.distance_to_view_km
-    )
+    with timer.stage("sun/view geometry"):
+        sun_grid = geometry.vector_grid(np.radians(sun_zenith), np.radians(sun_azimuth))
+        view_grid = geometry.vector_grid(np.radians(view_zenith), np.radians(view_azimuth))
+        sun_pos = geometry.ls_point_equal_to(
+            sun_grid, shape, diagonal_distance, config.distance_to_sun_km
+        )
+        view_pos = geometry.ls_point_equal_to(
+            view_grid, shape, diagonal_distance, config.distance_to_view_km
+        )
 
     _logger.debug(" --- Object-based Shadow Mask Generation...")
-    match = matching.match_clouds_shadows(
-        clouds,
-        cloud_map,
-        generated.cloud_mask_no_processing,
-        psm.mask,
-        diagonal_distance,
-        sun_pos,
-        view_pos,
-        config.matching,
-    )
+    with timer.stage("cloud-shadow matching"):
+        match = matching.match_clouds_shadows(
+            clouds,
+            cloud_map,
+            generated.cloud_mask_no_processing,
+            psm.mask,
+            diagonal_distance,
+            sun_pos,
+            view_pos,
+            config.matching,
+            timer=timer,
+        )
 
     _logger.debug(" --- Generating Probability Function...")
-    alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
-    beta = refinement.beta_map(
-        match.shadows,
-        match.solutions,
-        generated.blended_cloud_probability,
-        diagonal_distance,
-        config.refinement,
-    )
-    surface = refinement.probability_map(
-        match.shadow_mask, alpha, beta, config.refinement
-    )
+    with timer.stage("alpha map"):
+        alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
+    with timer.stage("beta map"):
+        beta = refinement.beta_map(
+            match.shadows,
+            match.solutions,
+            generated.blended_cloud_probability,
+            diagonal_distance,
+            config.refinement,
+        )
+    with timer.stage("probability surface"):
+        surface = refinement.probability_map(
+            match.shadow_mask, alpha, beta, config.refinement
+        )
 
     _logger.debug(" --- Final Shadow Mask Generation...")
-    final = refinement.improved_shadow_mask(
-        match.shadow_mask,
-        generated.cloud_mask,
-        alpha,
-        beta,
-        surface,
-        config.probability_threshold,
-    )
+    with timer.stage("final mask"):
+        final = refinement.improved_shadow_mask(
+            match.shadow_mask,
+            generated.cloud_mask,
+            alpha,
+            beta,
+            surface,
+            config.probability_threshold,
+        )
     _logger.debug("...Finished Algorithm.")
 
     status.shadows_computed = True
@@ -230,9 +251,10 @@ def detect(
     status.percent_invalid = percent_non_zero(total_mask)
 
     _logger.debug("Saving shadow results")
-    _write_mask(psm.mask, params.shadow_potential_path(), params.nir_path)
-    _write_mask(match.shadow_mask, params.object_based_shadow_path(), params.nir_path)
-    _write_mask(final, params.shadow_path(), params.nir_path)
+    with timer.stage("write shadow masks"):
+        _write_mask(psm.mask, params.shadow_potential_path(), params.nir_path)
+        _write_mask(match.shadow_mask, params.object_based_shadow_path(), params.nir_path)
+        _write_mask(final, params.shadow_path(), params.nir_path)
     return status
 
 

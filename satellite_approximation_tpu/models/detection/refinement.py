@@ -171,6 +171,15 @@ class UniformProbabilitySurface:
         self.beta_min = None
         self.beta_max = None
 
+    @property
+    def data(self) -> np.ndarray:
+        return self._data
+
+    @data.setter
+    def data(self, value: np.ndarray) -> None:
+        self._data = np.asarray(value, dtype=np.float32)
+        self._ext = None  # invalidate the fast-sampling table
+
     # --- vectorized .at(i, j) with boundary interpolation ---
 
     def at(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
@@ -265,6 +274,15 @@ class UniformProbabilitySurface:
         out = np.where(right & up, ru, out)
         return out
 
+    def _extended(self) -> np.ndarray:
+        """at(i, j) tabulated for i, j in [-1, wdt] x [-1, hgt]: every cell
+        :meth:`sample` can touch for inputs in [0, 1]. Replaces the ~30-pass
+        per-pixel branch cascade with 4 gathers — values are identical
+        because the same ``at`` computes the table."""
+        hgt, wdt = self.data.shape
+        ii, jj = np.meshgrid(np.arange(-1, wdt + 1), np.arange(-1, hgt + 1))
+        return self.at(ii, jj).astype(np.float32)
+
     def sample(self, alpha: np.ndarray, beta: np.ndarray) -> np.ndarray:
         """operator()(alpha, beta): bilinear over the four cells around the
         sample point, roundf (half away from zero) cell snapping (:264-283)."""
@@ -280,10 +298,22 @@ class UniformProbabilitySurface:
         y_max = roundf(celly)
         x_min = x_max - 1
         y_min = y_max - 1
-        p0 = self.at(x_min, y_min)
-        p1 = self.at(x_max, y_min)
-        p2 = self.at(x_min, y_max)
-        p3 = self.at(x_max, y_max)
+        in_table = (
+            (x_min >= -1) & (x_max <= wdt) & (y_min >= -1) & (y_max <= hgt)
+        )
+        if np.all(in_table):
+            if self._ext is None:
+                self._ext = self._extended()
+            e = self._ext
+            p0 = e[y_min + 1, x_min + 1]
+            p1 = e[y_min + 1, x_max + 1]
+            p2 = e[y_max + 1, x_min + 1]
+            p3 = e[y_max + 1, x_max + 1]
+        else:
+            p0 = self.at(x_min, y_min)
+            p1 = self.at(x_max, y_min)
+            p2 = self.at(x_min, y_max)
+            p3 = self.at(x_max, y_max)
         u = cellx - (x_min.astype(np.float32) + np.float32(0.5))
         v = celly - (y_min.astype(np.float32) + np.float32(0.5))
         bottom = (1 - u) * p0 + u * p1

@@ -24,8 +24,10 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_SO)],
+            # -ffp-contract=off: cloud_sweep's f32 affine must round exactly
+            # like the XLA/numpy (no-FMA) path so pixel truncation matches
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+             "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)],
             check=True,
             capture_output=True,
             timeout=120,
@@ -41,8 +43,9 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists():
-        if not _build():
+    stale = _SO.exists() and _SRC.exists() and _SO.stat().st_mtime < _SRC.stat().st_mtime
+    if not _SO.exists() or stale:
+        if not _build() and not _SO.exists():
             return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -64,6 +67,25 @@ def get_lib():
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        _f32p = ctypes.POINTER(ctypes.c_float)
+        lib.cloud_sweep.argtypes = [
+            _u8p, _u8p, _i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p,
+            _f32p, _f32p,
+            ctypes.c_int32, _f32p,
+        ]
+        lib.cloud_detail.argtypes = [
+            _u8p, _u8p, _i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, _u8p, _i32p, _i32p,
         ]
         _lib = lib
     except OSError:
@@ -127,3 +149,96 @@ def border_mask(mask: np.ndarray) -> np.ndarray | None:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
+
+
+def cloud_sweep(
+    cmask: np.ndarray,
+    psm: np.ndarray,
+    cmap: np.ndarray,
+    width: int,
+    height: int,
+    cid: int,
+    mnx: np.ndarray,
+    mny: np.ndarray,
+    mxx: np.ndarray,
+    mxy: np.ndarray,
+    a2: np.ndarray,
+    delta: np.ndarray,
+    min_support: int,
+) -> np.ndarray | None:
+    """Ray-cast similarity of one cloud over all heights
+    (CloudShadowMatching.cpp:70-152 scan, host path). cmask/psm bool and
+    cmap int32 are the padded flipped rasters; per-height bbox arrays int,
+    a2 (nh, 2, 2) f32, delta (nh, 2) f32. Returns (nh,) f32 sims or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cm = np.ascontiguousarray(cmask, np.uint8)
+    ps = np.ascontiguousarray(psm, np.uint8)
+    cp = np.ascontiguousarray(cmap, np.int32)
+    nh = len(mnx)
+    sims = np.empty(nh, np.float32)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    mnx, mny, mxx, mxy = i32(mnx), i32(mny), i32(mxx), i32(mxy)
+    a2c = np.ascontiguousarray(a2.reshape(nh, 4), np.float32)
+    dc = np.ascontiguousarray(delta.reshape(nh, 2), np.float32)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_f32 = ctypes.POINTER(ctypes.c_float)
+    lib.cloud_sweep(
+        cm.ctypes.data_as(p_u8), ps.ctypes.data_as(p_u8), cp.ctypes.data_as(p_i32),
+        ctypes.c_int32(cm.shape[1]), ctypes.c_int32(width), ctypes.c_int32(height),
+        ctypes.c_int32(cid), ctypes.c_int32(nh),
+        mnx.ctypes.data_as(p_i32), mny.ctypes.data_as(p_i32),
+        mxx.ctypes.data_as(p_i32), mxy.ctypes.data_as(p_i32),
+        a2c.ctypes.data_as(p_f32), dc.ctypes.data_as(p_f32),
+        ctypes.c_int32(min_support), sims.ctypes.data_as(p_f32),
+    )
+    return sims
+
+
+def cloud_detail(
+    cmask: np.ndarray,
+    psm: np.ndarray,
+    cmap: np.ndarray,
+    width: int,
+    height: int,
+    cid: int,
+    bbox: tuple[int, int, int, int],
+    a2: np.ndarray,
+    delta: np.ndarray,
+    hb: int,
+    wb: int,
+):
+    """Hit window + counts + hit bounds at one height (the _bucket_detail
+    contract). Returns (t, c, hit_win bool (hb, wb), x0, y0, x1, y1)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cm = np.ascontiguousarray(cmask, np.uint8)
+    ps = np.ascontiguousarray(psm, np.uint8)
+    cp = np.ascontiguousarray(cmap, np.int32)
+    hit = np.zeros((hb, wb), np.uint8)
+    counts = np.zeros(2, np.int32)
+    bounds = np.zeros(4, np.int32)
+    a2f = np.asarray(a2, np.float32).reshape(4)
+    df = np.asarray(delta, np.float32).reshape(2)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.cloud_detail(
+        cm.ctypes.data_as(p_u8), ps.ctypes.data_as(p_u8), cp.ctypes.data_as(p_i32),
+        ctypes.c_int32(cm.shape[1]), ctypes.c_int32(width), ctypes.c_int32(height),
+        ctypes.c_int32(cid),
+        ctypes.c_int32(bbox[0]), ctypes.c_int32(bbox[1]),
+        ctypes.c_int32(bbox[2]), ctypes.c_int32(bbox[3]),
+        ctypes.c_float(a2f[0]), ctypes.c_float(a2f[1]),
+        ctypes.c_float(a2f[2]), ctypes.c_float(a2f[3]),
+        ctypes.c_float(df[0]), ctypes.c_float(df[1]),
+        ctypes.c_int32(hb), ctypes.c_int32(wb),
+        hit.ctypes.data_as(p_u8),
+        counts.ctypes.data_as(p_i32), bounds.ctypes.data_as(p_i32),
+    )
+    return (
+        int(counts[0]), int(counts[1]), hit.astype(bool),
+        int(bounds[0]), int(bounds[1]), int(bounds[2]), int(bounds[3]),
+    )

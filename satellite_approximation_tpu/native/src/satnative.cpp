@@ -10,7 +10,14 @@
 //                     bottom-left column-major discovery order
 //                     (ImageOperations.cpp:52-109; CloudMask.cpp:63-108);
 //  * border_mask    — border extraction of a pixel blob
-//                     (Functions::border, Functions.cpp:126-149).
+//                     (Functions::border, Functions.cpp:126-149);
+//  * cloud_sweep /  — the 473-height ray-cast similarity scan for one cloud
+//    cloud_detail     (CloudShadowMatching.cpp:70-152). The back-projection
+//                     gather is hostile to XLA (irregular window gathers);
+//                     on the host it is a cache-friendly affine scan. Must
+//                     be compiled with -ffp-contract=off: the f32 affine
+//                     must round like the XLA/numpy path (no FMA) so the
+//                     truncation to pixel indices is bit-identical.
 //
 // Exposed with a plain C ABI and loaded via ctypes (no pybind11 dependency).
 
@@ -148,6 +155,100 @@ void border_mask(const uint8_t* mask, int32_t h, int32_t w, uint8_t* border)
             border[p] = (edge || !interior) ? 1 : 0;
         }
     }
+}
+
+// Similarity of one cloud across nh cast heights. Arrays are the flipped
+// (bottom-origin-row) padded rasters used by the matching module: cmask/psm
+// u8 (H, W), cmap i32 (H, W) holding compact cloud ids (-1/-2 elsewhere).
+// Per height: window [mny..mxy]x[mnx..mxx]; a pixel p is a candidate when
+// it is not cloud, its f32 affine back-projection q = A2*p + delta lands
+// in-image (trunc toward zero like glm ivec2) and cmap[q] == cid; a hit is
+// a candidate on the potential-shadow mask. sim = hits/candidates when
+// candidates >= min_support else -1.1 (the sweep kernel's sentinel).
+void cloud_sweep(
+    const uint8_t* cmask, const uint8_t* psm, const int32_t* cmap,
+    int32_t W_pad, int32_t width, int32_t height, int32_t cid, int32_t nh,
+    const int32_t* mnx, const int32_t* mny, const int32_t* mxx, const int32_t* mxy,
+    const float* a2 /* nh*4: a00,a01,a10,a11 */, const float* delta /* nh*2 */,
+    int32_t min_support, float* sims_out)
+{
+    for (int32_t h = 0; h < nh; h++) {
+        const float a00 = a2[h * 4 + 0], a01 = a2[h * 4 + 1];
+        const float a10 = a2[h * 4 + 2], a11 = a2[h * 4 + 3];
+        const float d0 = delta[h * 2 + 0], d1 = delta[h * 2 + 1];
+        int64_t cand = 0, hits = 0;
+        for (int32_t y = mny[h]; y <= mxy[h]; y++) {
+            const float fy = float(y);
+            const uint8_t* cm_row = cmask + int64_t(y) * W_pad;
+            const uint8_t* ps_row = psm + int64_t(y) * W_pad;
+            for (int32_t x = mnx[h]; x <= mxx[h]; x++) {
+                if (cm_row[x])
+                    continue;
+                const float fx = float(x);
+                const float qx = a00 * fx + a01 * fy + d0;
+                const float qy = a10 * fx + a11 * fy + d1;
+                const int32_t qi = int32_t(qx); // trunc toward zero
+                const int32_t qj = int32_t(qy);
+                if (qi < 0 || qi >= width || qj < 0 || qj >= height)
+                    continue;
+                if (cmap[int64_t(qj) * W_pad + qi] != cid)
+                    continue;
+                cand++;
+                hits += ps_row[x] ? 1 : 0;
+            }
+        }
+        // f32/f32 division exactly like the XLA sweep kernel
+        sims_out[h] = (cand >= min_support) ? float(hits) / float(cand) : -1.1f;
+    }
+}
+
+// Hit detail at one height: hit window (hb x wb u8, anchored at (mnx, mny)),
+// candidate/hit counts, and the hit-pixel bounds (x0,y0,x1,y1; +-2^30
+// sentinels when no hits) — the _bucket_detail contract.
+void cloud_detail(
+    const uint8_t* cmask, const uint8_t* psm, const int32_t* cmap,
+    int32_t W_pad, int32_t width, int32_t height, int32_t cid,
+    int32_t mnx, int32_t mny, int32_t mxx, int32_t mxy,
+    float a00, float a01, float a10, float a11, float d0, float d1,
+    int32_t hb, int32_t wb, uint8_t* hit_win,
+    int32_t* counts /* t, c */, int32_t* bounds /* x0,y0,x1,y1 */)
+{
+    std::memset(hit_win, 0, size_t(hb) * size_t(wb));
+    const int32_t big = 1 << 30;
+    int32_t t = 0, c = 0, bx0 = big, by0 = big, bx1 = -big, by1 = -big;
+    for (int32_t y = mny; y <= mxy && y < mny + hb; y++) {
+        const float fy = float(y);
+        const uint8_t* cm_row = cmask + int64_t(y) * W_pad;
+        const uint8_t* ps_row = psm + int64_t(y) * W_pad;
+        for (int32_t x = mnx; x <= mxx && x < mnx + wb; x++) {
+            if (cm_row[x])
+                continue;
+            const float fx = float(x);
+            const float qx = a00 * fx + a01 * fy + d0;
+            const float qy = a10 * fx + a11 * fy + d1;
+            const int32_t qi = int32_t(qx);
+            const int32_t qj = int32_t(qy);
+            if (qi < 0 || qi >= width || qj < 0 || qj >= height)
+                continue;
+            if (cmap[int64_t(qj) * W_pad + qi] != cid)
+                continue;
+            t++;
+            if (ps_row[x]) {
+                c++;
+                hit_win[int64_t(y - mny) * wb + (x - mnx)] = 1;
+                bx0 = x < bx0 ? x : bx0;
+                by0 = y < by0 ? y : by0;
+                bx1 = x > bx1 ? x : bx1;
+                by1 = y > by1 ? y : by1;
+            }
+        }
+    }
+    counts[0] = t;
+    counts[1] = c;
+    bounds[0] = bx0;
+    bounds[1] = by0;
+    bounds[2] = bx1;
+    bounds[3] = by1;
 }
 
 } // extern "C"

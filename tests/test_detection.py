@@ -251,3 +251,41 @@ class TestNoCloudScene:
             res.shadow_mask, g.cloud_mask, alpha, beta, surface, 0.15
         )
         assert final.shape == (h, w)
+
+
+class TestMatchingBackendEquivalence:
+    """The native C++ scan and the XLA bucket sweep must produce identical
+    matches (same predicate, same f32 rounding — satnative.cpp builds with
+    -ffp-contract=off so the affine back-projection truncates identically)."""
+
+    def test_native_equals_device(self):
+        from satellite_approximation_tpu import native
+
+        if not native.available():
+            import pytest as _pytest
+
+            _pytest.skip("native library unavailable")
+        mask, cmap, clouds, psm, sun, view, diag = make_scene()
+        # saturate the potential-shadow mask so every cloud ACCEPTS (the
+        # default scene rejects all clouds, which would only exercise the
+        # reject path); hit windows, bounds, and areas then all compare
+        psm = np.ones_like(psm)
+        res_n = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, diag, sun, view, use_native=True
+        )
+        res_d = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, diag, sun, view, use_native=False
+        )
+        assert any(s.similarity > 0 for s in res_n.solutions.values())
+        np.testing.assert_array_equal(res_n.shadow_mask, res_d.shadow_mask)
+        assert res_n.solutions.keys() == res_d.solutions.keys()
+        for cid in res_n.solutions:
+            a, b = res_n.solutions[cid], res_d.solutions[cid]
+            assert a.height == b.height, cid
+            assert a.similarity == b.similarity, cid
+            np.testing.assert_allclose(a.M, b.M)
+            sa, sb = res_n.shadows[cid], res_d.shadows[cid]
+            assert sa.bounds == sb.bounds
+            assert sa.area == sb.area
+            assert sa.anchor == sb.anchor
+        np.testing.assert_equal(res_n.trimmed_mean_height, res_d.trimmed_mean_height)

@@ -103,3 +103,123 @@ class TestIndices:
             write_geotiff((rng.random((6, 7)) * 1000 + 1).astype(np.float32), tmp_path / f"{name}.tif")
         swi = idx.compute_index(tmp_path, tmp_path / "B08.tif", idx.Indices.SWI, use_cache=False)
         assert np.isfinite(swi).all()
+
+
+class TestGoldenColours:
+    """Value-asserting goldens against the reference's colour constants
+    (SceneClassificationLayer.h:31-43, ShadowMaskEvaluation.h:5-10)."""
+
+    def test_scl_rgba_all_classes(self):
+        from satellite_approximation_tpu.ops.masks import scl_rgba
+
+        scl = np.arange(13, dtype=np.uint16).reshape(1, 13)  # 0..11 + unknown 12
+        got = scl_rgba(scl)[0]
+        expected = [
+            0xFF000000,  # NO_DATA             (SceneClassificationLayer.h:31)
+            0xFF333333,  # SATURATED_DEFECTIVE (:32)
+            0xFF00FFFF,  # DARK_AREA_PIXELS    (:33)
+            0xFFFF007F,  # CLOUD_SHADOWS       (:34)
+            0xFF00FF00,  # VEGETATION          (:35)
+            0xFF003300,  # BARE_SOIL           (:36)
+            0xFFFF0000,  # WATER               (:37)
+            0xFF000033,  # CLOUD_LOW           (:38)
+            0xFF00007F,  # CLOUD_MEDIUM        (:39)
+            0xFF0000FF,  # CLOUD_HIGH          (:40)
+            0xFF00FFFF,  # CLOUD_CIRRUS        (:41)
+            0xFFFFFF00,  # SNOW_ICE            (:42)
+            0xFF000000,  # default -> NO_DATA  (GenerateRGBA default branch)
+        ]
+        assert got.dtype == np.uint32
+        np.testing.assert_array_equal(got, np.array(expected, np.uint32))
+
+    def test_evaluation_rgba_all_classes(self):
+        classes = np.arange(7, dtype=np.uint32).reshape(1, 7)  # 0..5 + unknown 6
+        got = ev.generate_rgba(classes)[0]
+        expected = [
+            0xFF000000,  # UNKNOWN         (ShadowMaskEvaluation.h:5)
+            0xFF00FF00,  # TRUE_NEGATIVE   (:6)
+            0xFFFF0000,  # TRUE_POSITIVE   (:7)
+            0xFF0000FF,  # FALSE_NEGATIVE  (:8)
+            0xFFFF00FF,  # FALSE_POSITIVE  (:9)
+            0xFFFFFFFF,  # CLOUDS          (:10)
+            0xFF000000,  # out-of-range -> UNKNOWN
+        ]
+        np.testing.assert_array_equal(got, np.array(expected, np.uint32))
+
+
+class TestEvaluateGolden:
+    """Hand-built confusion case with analytically known accuracies
+    (ShadowMaskEvaluation.cpp:9-69)."""
+
+    def _case(self):
+        h = w = 8
+        cloud = np.zeros((h, w), bool)
+        cloud[0, 0:4] = True  # 4 cloud pixels
+        pred = np.zeros((h, w), bool)
+        base = np.zeros((h, w), bool)
+        # 6 TP
+        pred[1, 0:6] = True
+        base[1, 0:6] = True
+        # 8 FP (pred only)
+        pred[2, 0:8] = True
+        # 6 FN (base only)
+        base[3, 0:6] = True
+        # also mark a cloud pixel as shadow in both: must be excluded
+        pred[0, 0] = True
+        base[0, 0] = True
+        return pred, cloud, base
+
+    def test_metrics(self):
+        pred, cloud, base = self._case()
+        res = ev.evaluate(pred, cloud, base, (0, 0, 7, 7))
+        # The reference counts with half-open bounds CLAMPED to dim-1
+        # (ImageOperations.cpp:188-201: i < min(cols-1, x1)) while n_total
+        # uses the inclusive bounds size (types.cpp:3). We mirror both.
+        # Counted region: y-from-bottom 0..6 (drops top row 0, the cloud
+        # row), x 0..6 (drops col 7, one FP pixel):
+        n_total = 64.0
+        n_fp, n_fn = 7.0, 6.0  # FP row loses col 7
+        n_rel = 19.0  # 6 TP + 7 FP + 6 FN
+        assert res.positive_error_total == pytest.approx(n_fp / n_total)
+        assert res.negative_error_total == pytest.approx(n_fn / n_total)
+        assert res.error_total == pytest.approx((n_fp + n_fn) / n_total)
+        assert res.positive_error_relative == pytest.approx(n_fp / n_rel)
+        assert res.negative_error_relative == pytest.approx(n_fn / n_rel)
+        assert res.error_relative == pytest.approx((n_fp + n_fn) / n_rel)
+        assert res.producers_accuracy == pytest.approx(0.5)  # (6/19)/(12/19)
+        assert res.users_accuracy == pytest.approx(6 / 13)  # (6/19)/(13/19)
+
+    def test_class_image(self):
+        pred, cloud, base = self._case()
+        res = ev.evaluate(pred, cloud, base, (0, 0, 7, 7))
+        cl = res.pixel_classes
+        assert (cl[1, 0:6] == ev.TRUE_POSITIVE_CLASS).all()
+        assert (cl[2, 0:8] == ev.FALSE_POSITIVE_CLASS).all()
+        assert (cl[3, 0:6] == ev.FALSE_NEGATIVE_CLASS).all()
+        assert (cl[0, 0:4] == ev.CLOUDS_CLASS).all()
+        assert (cl[5, :] == ev.TRUE_NEGATIVE_CLASS).all()
+
+
+class TestHighlightAreaReplaced:
+    def test_paints_valid_pixels_only(self):
+        from satellite_approximation_tpu.models.poisson import (
+            highlight_area_replaced,
+            valid_pixel_mask,
+        )
+
+        rng = np.random.default_rng(0)
+        inputs = rng.random((3, 10, 12))
+        repl = rng.random((3, 4, 5))
+        repl[:, 0, 0] = 1.0  # white sentinel: not replaced (utils.h:101-105)
+        out = highlight_area_replaced(inputs, repl, 2, 3, (0.9, 0.1, 0.2))
+        mask = valid_pixel_mask(repl)
+        assert not mask[0, 0]
+        window = out[:, 2:6, 3:8]
+        for c, col in enumerate((0.9, 0.1, 0.2)):
+            np.testing.assert_array_equal(window[c][mask], col)
+            np.testing.assert_array_equal(
+                window[c][~mask], inputs[c, 2:6, 3:8][~mask]
+            )
+        untouched = out.copy()
+        untouched[:, 2:6, 3:8] = inputs[:, 2:6, 3:8]
+        np.testing.assert_array_equal(untouched, inputs)

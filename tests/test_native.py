@@ -62,14 +62,33 @@ class TestHoleFill:
 
 class TestFloodPartition:
     def test_matches_partition_regions(self):
+        # compare against the DEVICE label-propagation path explicitly
+        # (partition_regions itself now routes host masks to the native
+        # flood, which would make a host-mask comparison circular)
+        import jax.numpy as jnp
         from satellite_approximation_tpu.ops.components import partition_regions
 
         rng = np.random.default_rng(1)
         mask = rng.random((48, 64)) > 0.7
         labels_c, n_c = native.flood_partition(mask, 3)
-        id_map, regions = partition_regions(mask, min_area=3)
+        id_map, regions = partition_regions(jnp.asarray(mask), min_area=3)
         assert n_c == len(regions)
         np.testing.assert_array_equal(labels_c, id_map)
+
+    def test_host_path_matches_device_path(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.ops.components import partition_regions
+
+        rng = np.random.default_rng(7)
+        mask = rng.random((53, 41)) > 0.6
+        id_host, reg_host = partition_regions(mask, min_area=2)
+        id_dev, reg_dev = partition_regions(jnp.asarray(mask), min_area=2)
+        np.testing.assert_array_equal(id_host, np.asarray(id_dev))
+        assert len(reg_host) == len(reg_dev)
+        for a, b in zip(reg_host, reg_dev):
+            assert (a.id, a.row_min, a.row_max, a.col_min, a.col_max, a.area) == (
+                b.id, b.row_min, b.row_max, b.col_min, b.col_max, b.area
+            )
 
     def test_min_area(self):
         mask = np.zeros((8, 8), bool)
