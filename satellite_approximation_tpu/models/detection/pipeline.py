@@ -103,11 +103,21 @@ def get_diagonal_distance(
     return geometry.haversine_distance((min_long, min_lat), (max_long, max_lat))
 
 
-def _read_normalized_u8(path: Path, max_value: float) -> np.ndarray:
-    return GeoTIFF.open(path).read().astype(np.float32) / np.float32(max_value)
+def _read_normalized_u8(
+    path: Path, max_value: float, inputs: dict[str, np.ndarray] | None = None
+) -> np.ndarray:
+    raw = inputs.get(path.stem) if inputs else None
+    if raw is None:
+        raw = GeoTIFF.open(path).read()
+    return raw.astype(np.float32) / np.float32(max_value)
 
 
-def _read_angles(path: Path, what: str) -> np.ndarray:
+def _read_angles(
+    path: Path, what: str, inputs: dict[str, np.ndarray] | None = None
+) -> np.ndarray:
+    raw = inputs.get(path.stem) if inputs else None
+    if raw is not None:
+        return raw.astype(np.float64)
     try:
         return GeoTIFF.open(path).read().astype(np.float64)
     except Exception as e:  # noqa: BLE001
@@ -125,12 +135,19 @@ def detect(
     use_cache: bool = True,
     config: DetectionConfig = DEFAULT_DETECTION,
     timer: "StageTimer | None" = None,
+    inputs: dict[str, np.ndarray] | None = None,
 ) -> Status | None:
     """Run the full cloud + shadow detection for one date folder
     (automatic_detection.cpp:80-236). Returns None when cached outputs exist.
 
     ``timer``: optional StageTimer accumulating per-stage wall times (the
     reference's spdlog stopwatches, automatic_detection.cpp:263-323).
+
+    ``inputs``: optional pre-decoded rasters keyed by file stem ("B08",
+    "CLP", ..., "sunZenithAngles"); rasters present here skip the disk read.
+    `detect_in_folder` uses this to overlap TIFF decode of the next dates
+    with the current date's compute (the reference decodes every raster on
+    the critical path, automatic_detection.cpp:286-324).
     """
     if use_cache and params.cloud_path().exists() and params.shadow_path().exists():
         _logger.debug(
@@ -146,10 +163,14 @@ def detect(
     status = Status()
 
     with timer.stage("read inputs"):
-        clp = _read_normalized_u8(params.clp_path, 255)
-        cld = _read_normalized_u8(params.cld_path, 100)
-        scl = GeoTIFF.open(params.scl_path).read()
-        nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max)
+        clp = _read_normalized_u8(params.clp_path, 255, inputs)
+        cld = _read_normalized_u8(params.cld_path, 100, inputs)
+        scl = (
+            inputs[params.scl_path.stem]
+            if inputs and params.scl_path.stem in inputs
+            else GeoTIFF.open(params.scl_path).read()
+        )
+        nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max, inputs)
     shape = clp.shape
 
     _logger.debug(" --- Cloud Detection...")
@@ -187,10 +208,10 @@ def detect(
         )
 
     with timer.stage("read angles"):
-        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith")
-        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth")
-        view_zenith = _read_angles(params.view_zenith_path, "View Zenith")
-        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth")
+        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs)
+        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs)
+        view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs)
+        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs)
 
     _logger.debug(" --- Solving for Sun and Satellite Position...")
     with timer.stage("sun/view geometry"):
@@ -306,15 +327,39 @@ def detect_in_folder(
     config: DetectionConfig = DEFAULT_DETECTION,
 ) -> dict[Date, Status]:
     """Detect every multispectral date folder under ``folder_path``
-    (automatic_detection.cpp:286-324)."""
+    (automatic_detection.cpp:286-324).
+
+    Unlike the reference, which decodes every raster sequentially on the
+    critical path, a background thread pool decodes the next dates' TIFFs
+    while the current date computes (FolderPrefetcher; PIL's zlib decode
+    releases the GIL, so decode overlaps both device compute and the
+    host-side pipeline stages)."""
     folder_path = Path(folder_path)
     results: dict[Date, Status] = {}
     _logger.debug("Starting calculation")
     sw = Stopwatch()
-    for directory in multispectral_folders(folder_path):
+    folders = multispectral_folders(folder_path)
+    if use_cache:
+        # Don't burn decode threads on dates detect() would short-circuit.
+        pending = [
+            d
+            for d in folders
+            if not (
+                CloudParams.from_root(d).cloud_path().exists()
+                and CloudParams.from_root(d).shadow_path().exists()
+            )
+        ]
+    else:
+        pending = folders
+    from ...utils.loader import FolderPrefetcher
+
+    for directory, inputs in FolderPrefetcher(folders=pending):
         _logger.info("Calculating for %s", directory.name)
         params = CloudParams.from_root(directory)
-        status = detect(params, diagonal_distance, skip_shadow_detection, use_cache, config)
+        status = detect(
+            params, diagonal_distance, skip_shadow_detection, use_cache, config,
+            inputs=inputs,
+        )
         if status is not None:
             results[Date.from_string(directory.name)] = status
     db = DataBase(folder_path)

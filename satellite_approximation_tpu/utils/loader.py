@@ -25,22 +25,42 @@ DETECTION_RASTERS = (
 
 
 def load_detection_inputs(folder: Path | str, names=DETECTION_RASTERS) -> dict[str, np.ndarray]:
-    """All rasters of one date folder, decoded in parallel."""
+    """All rasters of one date folder, decoded in parallel.
+
+    Missing or undecodable rasters are silently omitted from the result so
+    the consumer (``detect``) falls back to its own disk read and raises
+    its usual contextual error on the critical path.
+    """
     folder = Path(folder)
+
+    def _read(p: Path) -> np.ndarray | None:
+        try:
+            return GeoTIFF.open(p).read()
+        except Exception:  # noqa: BLE001
+            return None
+
     with cf.ThreadPoolExecutor(max_workers=len(names)) as pool:
-        futures = {
-            name: pool.submit(lambda p: GeoTIFF.open(p).read(), folder / f"{name}.tif")
-            for name in names
-        }
-        return {name: fut.result() for name, fut in futures.items()}
+        futures = {name: pool.submit(_read, folder / f"{name}.tif") for name in names}
+        out = {name: fut.result() for name, fut in futures.items()}
+    return {name: arr for name, arr in out.items() if arr is not None}
 
 
 class FolderPrefetcher:
     """Iterate date folders with the next ``prefetch`` folders decoding in
     the background."""
 
-    def __init__(self, base: Path | str, names=DETECTION_RASTERS, prefetch: int = 2):
-        self.folders = multispectral_folders(base)
+    def __init__(
+        self,
+        base: Path | str | None = None,
+        names=DETECTION_RASTERS,
+        prefetch: int = 2,
+        folders: list[Path] | None = None,
+    ):
+        if folders is None:
+            if base is None:
+                raise ValueError("FolderPrefetcher needs a base folder or an explicit folder list")
+            folders = multispectral_folders(base)
+        self.folders = list(folders)
         self.names = names
         self.prefetch = max(prefetch, 1)
 

@@ -102,6 +102,33 @@ class TestMultiDateWorkflow:
             assert rasters["B08"].shape == (R1 - R0, C1 - C0)
         assert seen == ["2019-05-22", "2019-05-30"]
 
+    def test_prefetched_inputs_match_disk_reads(self, time_series, tmp_path):
+        """detect() fed pre-decoded rasters writes bit-identical masks to the
+        disk-read path (the contract detect_in_folder's prefetch relies on)."""
+        import shutil
+
+        from satellite_approximation_tpu.models.detection.pipeline import CloudParams, detect
+        from satellite_approximation_tpu.utils.loader import load_detection_inputs
+
+        diag = crop_diagonal()
+        src = time_series / "2019-05-22"
+        a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+        for d in (a_dir, b_dir):
+            d.mkdir()
+            for f in src.glob("*.tif"):
+                if "mask" not in f.name and "shadow" not in f.name:
+                    shutil.copy(f, d / f.name)
+
+        detect(CloudParams.from_root(a_dir), diag, use_cache=False)
+        detect(
+            CloudParams.from_root(b_dir), diag, use_cache=False,
+            inputs=load_detection_inputs(b_dir),
+        )
+        for name in ("cloud_mask", "potential_shadows", "object_based_shadows", "shadow_mask"):
+            ga = GeoTIFF.open(a_dir / f"{name}.tif").read()
+            gb = GeoTIFF.open(b_dir / f"{name}.tif").read()
+            np.testing.assert_array_equal(ga, gb, err_msg=name)
+
 
 class TestCLI:
     def test_laplace_main(self, tmp_path):
