@@ -1,0 +1,334 @@
+"""All five BASELINE.md benchmark configs in one artifact run.
+
+Writes ``benchmarks/results_r{N}.json`` with one row per config. Each
+config runs in its own subprocess: the tunneled TPU is single-claimant,
+and fresh processes isolate HBM state between the very different workloads
+(the orchestrating parent never imports jax).
+
+    python benchmarks/run_all.py            # run everything, write results
+    python benchmarks/run_all.py --config 3 # one config, print its JSON row
+
+Configs (BASELINE.md table):
+  1. Laplace fill of a lake-style RGB image (laplace_main analog;
+     the real lake_with_invalid_areas.jpg is pruned from the mount, so a
+     synthetic full-scale stand-in is used — labelled in the row).
+  2. Poisson seamless clone of the REAL beach.jpg + chair.png at full
+     resolution (README.md:60-73 demo).
+  3. Single-band cloud-gap Laplace fill on test_data/2019-05-22, mask from
+     our own detection.
+  4. Full 10980^2 Sentinel-2 tile fill, 1 band and 13 bands
+     (delegates to bench_fulltile.py).
+  5. E2E: detect_in_folder over a 2-date full-scene series + Poisson fill
+     of the cloudy date from the clear one (automatic_detection.cpp:286-324).
+
+Reference baselines: the reference publishes NO numbers (BASELINE.md), so
+configs 1 and 3 time the reference-style scipy sparse-CG solve of the
+identically assembled system (bench.bench_scipy) on this host as the
+stand-in baseline; the other rows report our latency only.
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REF_SCENE = Path("/root/reference/test_data/2019-05-22")
+RESULTS = REPO / "benchmarks" / "results_r02.json"
+
+
+def _assemble_rhs(known_chw, umask):
+    """b = sum of known 4-neighbours over the unknown mask (same system
+    bench.py times: the reference's Laplace assembly, laplace.cpp:31-119)."""
+    import numpy as np
+
+    c, h, w = known_chw.shape
+    p = np.pad(known_chw * ~umask, ((0, 0), (1, 1), (1, 1)))
+    return (
+        p[:, 0:h, 1 : w + 1] + p[:, 2 : h + 2, 1 : w + 1]
+        + p[:, 1 : h + 1, 0:w] + p[:, 1 : h + 1, 2 : w + 2]
+    ) * umask
+
+
+def _deg(h, w):
+    import numpy as np
+
+    deg = np.full((h, w), 4.0, dtype=np.float32)
+    deg[0, :] -= 1; deg[-1, :] -= 1; deg[:, 0] -= 1; deg[:, -1] -= 1
+    return deg
+
+
+def config1():
+    """Lake-style marker-driven Laplace fill (laplace_main)."""
+    import numpy as np
+
+    import bench
+    from satellite_approximation_tpu.models.laplace import apply_laplace
+
+    h, w = 1080, 1620  # lake jpg is pruned; full-HD-class stand-in
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[:h, :w]
+    base = np.stack(
+        [
+            120 + 60 * np.sin(yy / 53.0) + 10 * rng.standard_normal((h, w)),
+            130 + 50 * np.cos(xx / 71.0) + 10 * rng.standard_normal((h, w)),
+            110 + 40 * np.sin((xx + yy) / 97.0) + 10 * rng.standard_normal((h, w)),
+        ],
+        axis=-1,
+    )
+    # the real asset is a u8 JPEG (laplace-main.cpp loads OpenCV mats);
+    # quantize the stand-in likewise
+    base = np.round(base).clip(0, 255).astype(np.uint8).astype(np.float64)
+    marker = np.zeros((h, w, 3), np.uint8)
+    invalid = np.zeros((h, w), bool)
+    for _ in range(12):
+        cy, cx = rng.integers(60, h - 60), rng.integers(60, w - 60)
+        ry, rx = rng.integers(15, 70), rng.integers(15, 70)
+        blotch = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        invalid |= blotch
+    marker[invalid, 0] = 255
+
+    apply_laplace(base, marker)  # warmup/compile
+    t0 = time.perf_counter()
+    out = apply_laplace(base, marker)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+
+    # baseline at 1e-9 rel residual — solve_matrix's parity target (the
+    # reference's Eigen CG default is machine-eps, laplace.cpp:113)
+    chw = np.moveaxis(base, -1, 0)
+    b = _assemble_rhs(chw, invalid)
+    scipy_dt = bench.bench_scipy(b, invalid, _deg(h, w), tol=1e-9)
+    return {
+        "config": 1,
+        "name": "lake_style_laplace_fill",
+        "note": "synthetic full-scale stand-in (real lake jpg pruned from mount); both solvers at 1e-9 rel residual",
+        "shape": [h, w, 3],
+        "masked_pixels": int(invalid.sum()) * 3,
+        "latency_s": round(dt, 3),
+        "baseline_scipy_cg_s": round(scipy_dt, 3),
+        "vs_baseline": round(scipy_dt / dt, 2),
+    }
+
+
+def config2():
+    """Beach + chair seamless clone at FULL resolution (real README assets)."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from satellite_approximation_tpu.config import DEFAULT_SOLVER
+    from satellite_approximation_tpu.models.poisson import (
+        blend_images_poisson,
+        valid_pixel_mask,
+    )
+
+    def load_gamma(path):
+        rgb = np.asarray(Image.open(path).convert("RGB"), dtype=np.float64) / 255.0
+        return np.moveaxis(np.power(rgb, 1 / 2.2), -1, 0)
+
+    beach = load_gamma("/root/reference/images/beach.jpg")  # (3, 3072, 4621)
+    chair = load_gamma("/root/reference/images/chair.png")  # (3, 1025, 728)
+    mask = valid_pixel_mask(chair)
+    row, col = 600, 1900
+
+    # gamma-decoded f64 inputs are not exactly f32; "force" takes the fused
+    # device path anyway (~1e-7 relative input rounding, << the 1e-6 solve
+    # tolerance)
+    cfg = dataclasses.replace(DEFAULT_SOLVER, device_assembly="force")
+    blend_images_poisson(beach, chair, start_row=row, start_column=col, config=cfg)
+    t0 = time.perf_counter()
+    out = blend_images_poisson(beach, chair, start_row=row, start_column=col, config=cfg)
+    dt = time.perf_counter() - t0
+    ch, cw = chair.shape[-2:]
+    win = out[:, row : row + ch, col : col + cw]
+    assert np.isfinite(win).all()
+    return {
+        "config": 2,
+        "name": "beach_chair_seamless_clone_fullres",
+        "note": "real README demo assets at native resolution",
+        "target_shape": list(beach.shape),
+        "patch_shape": list(chair.shape),
+        "unknowns": int(mask.sum()) * 3,
+        "latency_s": round(dt, 3),
+    }
+
+
+def config3():
+    """Single-band cloud-gap Laplace fill on the reference scene."""
+    import numpy as np
+
+    import bench
+    from satellite_approximation_tpu.config import DEFAULT_DETECTION
+    from satellite_approximation_tpu.models.detection import cloud_mask as cm
+    from satellite_approximation_tpu.models.laplace import (
+        fill_missing_portion_smooth_boundary,
+    )
+    from satellite_approximation_tpu.utils.geotiff import GeoTIFF
+
+    clp = GeoTIFF.open(REF_SCENE / "CLP.tif").read().astype(np.float32) / 255
+    cld = GeoTIFF.open(REF_SCENE / "CLD.tif").read().astype(np.float32) / 100
+    scl = GeoTIFF.open(REF_SCENE / "SCL.tif").read()
+    gen = cm.generate_cloud_mask_ignore_low_probability(
+        clp, cld, scl, DEFAULT_DETECTION.cloud_mask
+    )
+    mask = gen.cloud_mask.astype(bool)
+    mask[0, :] = mask[-1, :] = mask[:, 0] = mask[:, -1] = False
+    band = GeoTIFF.open(REF_SCENE / "B08.tif").read().astype(np.float64)
+
+    fill_missing_portion_smooth_boundary(band.copy(), mask)  # warmup
+    t0 = time.perf_counter()
+    filled = fill_missing_portion_smooth_boundary(band.copy(), mask)
+    dt = time.perf_counter() - t0
+    np.testing.assert_array_equal(filled[~mask], band[~mask])
+
+    b = _assemble_rhs(band[None], mask)
+    scipy_dt = bench.bench_scipy(b, mask, _deg(*band.shape), tol=1e-9)
+    return {
+        "config": 3,
+        "name": "cloud_gap_laplace_fill_2019-05-22",
+        "shape": list(band.shape),
+        "masked_pixels": int(mask.sum()),
+        "latency_s": round(dt, 3),
+        "baseline_scipy_cg_s": round(scipy_dt, 3),
+        "vs_baseline": round(scipy_dt / dt, 2),
+    }
+
+
+def config4():
+    """Full-tile fill: delegate to bench_fulltile.py (1 and 13 bands)."""
+    rows = []
+    for bands in (1, 13):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "benchmarks" / "bench_fulltile.py"), str(bands)],
+            capture_output=True, text=True, timeout=1800, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rows.append(json.loads(line))
+    return {
+        "config": 4,
+        "name": "fulltile_10980_fill",
+        "runs": rows,
+    }
+
+
+def config5():
+    """E2E multi-date: detect_in_folder + Poisson fill of the cloudy date."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from satellite_approximation_tpu.models.closest import find_good_close_image
+    from satellite_approximation_tpu.models.detection.pipeline import (
+        detect,
+        CloudParams,
+        detect_in_folder,
+        get_diagonal_distance,
+    )
+    from satellite_approximation_tpu.models.poisson import blend_images_poisson
+    from satellite_approximation_tpu.utils.db import DataBase
+    from satellite_approximation_tpu.utils.geotiff import GeoTIFF, write_geotiff
+
+    names = [
+        "B08", "CLP", "CLD", "SCL",
+        "sunZenithAngles", "sunAzimuthAngles", "viewZenithMean", "viewAzimuthMean",
+    ]
+    data = {n: GeoTIFF.open(REF_SCENE / f"{n}.tif").read() for n in names}
+    t = GeoTIFF.open(REF_SCENE / "B08.tif")
+    diag = get_diagonal_distance(t.west(), t.south(), t.east(), t.north())
+
+    base = Path(tempfile.mkdtemp()) / "series"
+    base.mkdir()
+    for date, clear in (("2019-05-22", False), ("2019-05-30", True)):
+        d = base / date
+        d.mkdir()
+        for n in names:
+            v = data[n]
+            if clear:
+                v = v.copy()
+                if n in ("CLP", "CLD"):
+                    v[:] = 0
+                if n == "SCL":
+                    v[(v == 8) | (v == 9) | (v == 3)] = 4
+            write_geotiff(v, d / f"{n}.tif", template_path=REF_SCENE / "B08.tif")
+        write_geotiff(data["B08"], d / "B04.tif", template_path=REF_SCENE / "B08.tif")
+
+    # warmup: compile every detection executable on a throwaway copy
+    warm = base.parent / "warm" / "2019-05-22"
+    shutil.copytree(base / "2019-05-22", warm)
+    detect(CloudParams.from_root(warm), diag, use_cache=False)
+
+    t0 = time.perf_counter()
+    results = detect_in_folder(base, diag, use_cache=False)
+    detect_s = time.perf_counter() - t0
+    assert len(results) == 2
+
+    db = DataBase(base)
+    best = find_good_close_image("2019-05-22", 0.3, db)
+    db.close()
+    cloudy_dir, clear_dir = base / "2019-05-22", base / str(best)
+    mask = GeoTIFF.open(cloudy_dir / "cloud_mask.tif").read().astype(bool)
+    mask |= GeoTIFF.open(cloudy_dir / "shadow_mask.tif").read().astype(bool)
+    inp = GeoTIFF.open(cloudy_dir / "B08.tif").read().astype(np.float64)[None]
+    rep = GeoTIFF.open(clear_dir / "B08.tif").read().astype(np.float64)[None]
+    t0 = time.perf_counter()
+    out = blend_images_poisson(inp, rep, invalid_mask=mask)
+    fill_s = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    shutil.rmtree(base.parent, ignore_errors=True)
+    return {
+        "config": 5,
+        "name": "e2e_multidate_detect_and_fill",
+        "dates": 2,
+        "scene_shape": [t.height, t.width],
+        "detect_s": round(detect_s, 2),
+        "fill_s": round(fill_s, 2),
+        "total_s": round(detect_s + fill_s, 2),
+        "percent_invalid_cloudy": round(
+            max(s.percent_invalid for s in results.values()), 4
+        ),
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
+    ap.add_argument("--out", type=Path, default=RESULTS)
+    args = ap.parse_args()
+
+    if args.config:
+        print(json.dumps(CONFIGS[args.config]()))
+        return
+
+    rows = []
+    for n in sorted(CONFIGS):
+        print(f"# config {n}...", file=sys.stderr, flush=True)
+        if n == 4:
+            rows.append(config4())  # already subprocess-per-run
+            continue
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--config", str(n)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            print(out.stdout + out.stderr, file=sys.stderr)
+            rows.append({"config": n, "error": out.stderr.strip()[-500:]})
+            continue
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rows.append(json.loads(line))
+        print(f"#   {line}", file=sys.stderr, flush=True)
+    args.out.write_text(json.dumps({"round": 2, "rows": rows}, indent=2) + "\n")
+    print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

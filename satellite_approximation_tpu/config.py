@@ -105,6 +105,14 @@ class SolverConfig:
     check_every: int = 8  # residual-norm check cadence inside the while_loop
     use_multigrid: bool = True
     mg_threshold_pixels: int = 256 * 256  # below this plain CG wins
+    # Device-first assembly policy (models/fill.py): "auto" takes the fused
+    # device path only when the f64 inputs are exactly f32-representable
+    # (every u8/u16-derived raster) so results are bit-equivalent to host
+    # assembly; "force" always takes it, rounding inputs to f32 (~1e-7
+    # relative Dirichlet perturbation — far below the 1e-6 solve tolerance,
+    # and it skips the host-assembled f64 transfers entirely); "never"
+    # keeps the host-assembly path.
+    device_assembly: str = "auto"
 
 
 DEFAULT_DETECTION = DetectionConfig()

@@ -76,9 +76,12 @@ class CGResult:
     error: float  # final relative residual ||b - Ax|| / ||b|| (f64, true)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
-def _cg_kernel(b, x0, umask, deg, tolerance, max_iterations):
-    """Batched CG over (..., H, W); all channels share A and iterate until
+def _cg_core(b, x0, umask, deg, tolerance, max_iterations):
+    """Traceable CG body — callable from inside other jitted programs
+    (the fused refinement solve in models/fill.py); see :func:`_cg_kernel`
+    for the jitted entry point.
+
+    Batched CG over (..., H, W); all channels share A and iterate until
     every channel satisfies ||r||^2 <= tol^2 ||b||^2 (Eigen's criterion,
     Eigen/ConjugateGradient.h) or max_iterations."""
     um = umask.astype(b.dtype)
@@ -109,6 +112,9 @@ def _cg_kernel(b, x0, umask, deg, tolerance, max_iterations):
 
     x, r, p, rs, it = lax.while_loop(cond, body, (x, r, p, rs, jnp.int32(0)))
     return x, it, jnp.sqrt(rs / jnp.maximum(bs, jnp.finfo(b.dtype).tiny))
+
+
+_cg_kernel = functools.partial(jax.jit, static_argnames=("max_iterations",))(_cg_core)
 
 
 def _residual_f64(b64: np.ndarray, x: np.ndarray, umask: np.ndarray, deg: np.ndarray) -> np.ndarray:

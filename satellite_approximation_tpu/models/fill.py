@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .cg import CGResult, shift_sum
 from . import multigrid
@@ -72,6 +73,109 @@ def _composite(img32: jnp.ndarray, x64: jnp.ndarray, umask: jnp.ndarray):
     return img32 * (1.0 - umf) + x64.astype(img32.dtype) * umf
 
 
+@jax.jit
+def _gather_masked(x64: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Solved f64 values at the unknown pixels, (C, n)."""
+    return x64[:, iy, ix]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "refinement_steps", "precond_dtype",
+        "use_multigrid", "mode",
+    ),
+)
+def _fused_refine_solve(
+    img32,
+    rep32,
+    umask,
+    deg,
+    levels_j,
+    tolerance,
+    max_iterations,
+    refinement_steps,
+    precond_dtype,
+    use_multigrid,
+    mode="laplace",
+):
+    """The WHOLE solve — f64 residual refinement around an inner f32 (P)CG —
+    as one compiled program: zero host round trips until the final norms.
+
+    The host-driven variant (solve -> fetch rnorm -> adapt inner_tol ->
+    solve ...) pays 2+ host<->device synchronizations per refinement pass;
+    on a networked-TPU runtime each costs ~0.1 s, dominating small solves.
+    Here the adaptive inner tolerance, the refinement while_loop, and the
+    nested (P)CG while_loop all trace into a single XLA program — the
+    compiler-friendly-control-flow answer (lax.while_loop, static shapes).
+
+    ``mode`` selects the RHS assembly (recomputed in-graph each residual
+    pass so the f64 b never persists in HBM):
+
+    * "laplace": b = known-neighbour Dirichlet sums of ``img32``
+      (laplace.cpp:71-106); x0 = img32 over the mask.
+    * "poisson": b = guidance divergence of ``rep32`` + Dirichlet sums of
+      ``img32`` (poisson.cpp:103-123/241-254); x0 = rep32 over the mask
+      (solveWithGuess parity, poisson.cpp:231-257).
+
+    Returns (x64, iterations, rnorm_per_band, bnorm_per_band).
+    """
+    from .cg import _cg_core
+    from . import multigrid as _mg
+
+    um64 = umask.astype(jnp.float64)
+    deg64 = deg.astype(jnp.float64)
+
+    def b64():
+        inp64 = img32.astype(jnp.float64)
+        dirichlet = shift_sum(inp64 * (1.0 - um64)) * um64
+        if mode == "laplace":
+            return dirichlet
+        g = rep32.astype(jnp.float64)
+        return (deg64 * g - shift_sum(g)) * um64 + dirichlet
+
+    def residual(x64):
+        x = x64 * um64
+        ax = (deg64 * x - shift_sum(x)) * um64
+        r = (b64() - ax) * um64
+        return r, jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
+
+    src64 = (img32 if mode == "laplace" else rep32).astype(jnp.float64)
+    x64 = src64 * um64
+    b0 = b64()
+    bnorm = jnp.sqrt(jnp.sum(b0 * b0, axis=(-2, -1)))
+    target = jnp.maximum(tolerance * bnorm, jnp.finfo(jnp.float64).tiny)
+    tol_floor = _mg.INNER_TOL_FLOOR if use_multigrid else 5e-8
+
+    r64, rnorm = residual(x64)
+
+    def cond(state):
+        step, _, _, rnorm, _ = state
+        return jnp.logical_and(jnp.any(rnorm > target), step < refinement_steps)
+
+    def body(state):
+        step, x64, r64, rnorm, iters = state
+        needed = jnp.min(target / jnp.maximum(rnorm, 1e-300))
+        inner_tol = jnp.clip(0.5 * needed, tol_floor, 0.5).astype(jnp.float32)
+        r32 = r64.astype(jnp.float32)
+        z32 = jnp.zeros(r64.shape, jnp.float32)
+        if use_multigrid:
+            d, it, _ = _mg._pcg_core(
+                r32, z32, inner_tol, levels_j,
+                max_iterations=max_iterations, precond_dtype=precond_dtype,
+            )
+        else:
+            d, it, _ = _cg_core(r32, z32, umask, deg, inner_tol, max_iterations)
+        x64 = x64 + d.astype(jnp.float64) * um64
+        r64, rnorm = residual(x64)
+        return step + 1, x64, r64, rnorm, iters + it
+
+    _, x64, r64, rnorm, iters = lax.while_loop(
+        cond, body, (jnp.int32(0), x64, r64, rnorm, jnp.int32(0))
+    )
+    return x64, iters, rnorm, bnorm
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _write_bands(buf: jnp.ndarray, chunk: jnp.ndarray, start) -> jnp.ndarray:
     """In-place (donated) chunk write — avoids a second full-tile copy at
@@ -89,6 +193,9 @@ def laplace_fill(
     max_chunk_elements: int | None = None,
     band_sink=None,
     stats: dict | None = None,
+    masked_values_output: bool = False,
+    use_multigrid: bool = True,
+    replacement=None,
 ) -> CGResult:
     """Fill ``image`` where ``umask`` is True by solving the Laplace system
     with multigrid-preconditioned CG; returns the composited image.
@@ -107,6 +214,23 @@ def laplace_fill(
     k solves, overlapping transfer with compute. ``stats`` (optional dict)
     receives ``solve_s`` (time blocked on solver results) for
     transfer-vs-compute attribution.
+
+    ``masked_values_output``: return only the solved values at the unknown
+    pixels as a host (C, n) f64 array (np.nonzero row-major order) instead
+    of the composited image — on tunneled-TPU hosts the D2H fetch shrinks
+    from the full raster to ~n values (the reference-parity ``solve_matrix``
+    scatters these back into its f64 host image). Mutually exclusive with
+    ``band_sink``.
+
+    ``use_multigrid=False`` solves the residual systems with plain f32 CG
+    instead of multigrid-preconditioned CG — no hierarchy build, the right
+    call for small unknown sets (SolverConfig.mg_threshold_pixels); pass a
+    CG-sized ``max_iterations`` (e.g. 4n+64) with it.
+
+    ``replacement``: optional guidance image of the same shape — switches
+    the system to Poisson editing (guidance-divergence RHS, warm start from
+    the replacement; poisson.cpp:103-123/231-257). The composited output
+    still takes known pixels from ``image``.
     """
     import numpy as np
 
@@ -117,11 +241,19 @@ def laplace_fill(
         image = np.asarray(image, np.float32)
         squeeze = image.ndim == 2
         img32 = image[None] if squeeze else image
+        if replacement is not None:
+            replacement = np.asarray(replacement, np.float32)
+            rep32 = replacement[None] if squeeze else replacement
     else:
         img32 = jnp.asarray(image, jnp.float32)
         squeeze = img32.ndim == 2
         if squeeze:
             img32 = img32[None]
+        if replacement is not None:
+            rep32 = jnp.asarray(replacement, jnp.float32)
+            if squeeze:
+                rep32 = rep32[None]
+    mode = "laplace" if replacement is None else "poisson"
     umask_j = jnp.asarray(umask, bool)
 
     c, h, w = img32.shape
@@ -130,11 +262,18 @@ def laplace_fill(
 
     import numpy as _np
 
+    if masked_values_output and band_sink is not None:
+        raise ValueError("masked_values_output and band_sink are mutually exclusive")
     deg_j = jax.jit(
         multigrid._neighbor_degree_traced, static_argnums=(0, 1)
     )(h, w)
-    levels_j = multigrid._device_hierarchy(umask_j, deg_j)
-    from .cg import _accumulate64
+    levels_j = multigrid._device_hierarchy(umask_j, deg_j) if use_multigrid else None
+
+    if masked_values_output:
+        ys, xs = _np.nonzero(_np.asarray(umask))
+        iy = jnp.asarray(ys, jnp.int32)
+        ix = jnp.asarray(xs, jnp.int32)
+        masked_vals = []
 
     single_chunk = bands_per_chunk >= c
     filled = (
@@ -149,53 +288,62 @@ def laplace_fill(
     import time as _time
 
     prefetched = jnp.asarray(img32[0:bands_per_chunk]) if host_input else None
+    prefetched_rep = (
+        jnp.asarray(rep32[0:bands_per_chunk])
+        if host_input and replacement is not None
+        else None
+    )
     for s in range(0, c, bands_per_chunk):
         e = min(s + bands_per_chunk, c)
         if host_input:
             chunk = prefetched
+            rchunk = prefetched_rep
             if e < c:
                 # async enqueue: the next chunk's H2D proceeds while this
                 # chunk solves
                 prefetched = jnp.asarray(img32[e : min(e + bands_per_chunk, c)])
+                if replacement is not None:
+                    prefetched_rep = jnp.asarray(
+                        rep32[e : min(e + bands_per_chunk, c)]
+                    )
             # attribute the wait for this chunk's upload to transfer, not
             # solve (the sum forces materialization on device)
             t_up0 = _time.perf_counter()
             _ = float(chunk[..., ::499, ::499].sum())
+            if rchunk is not None:
+                _ = float(rchunk[..., ::499, ::499].sum())
             transfer_s += _time.perf_counter() - t_up0
         else:
             chunk = img32[s:e]
+            rchunk = rep32[s:e] if replacement is not None else None
         t_solve0 = _time.perf_counter()
-        x64 = _x0_from_image(chunk, umask_j)
-        r64, rnorm_j, bnorm_j = _residual_from_image(chunk, x64, umask_j, deg_j)
+        # one fused program: f64 refinement + inner (P)CG, single dispatch,
+        # norms are the only values that cross back to the host
+        x64, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+            chunk,
+            chunk if rchunk is None else rchunk,
+            umask_j,
+            deg_j,
+            () if levels_j is None else levels_j,
+            jnp.float64(tolerance),
+            max_iterations=max_iterations,
+            refinement_steps=max(refinement_steps, 1),
+            precond_dtype=multigrid._precond_dtype_for((h, w)),
+            use_multigrid=use_multigrid,
+            mode=mode,
+        )
         rnorm = _np.asarray(rnorm_j)
         bnorm = _np.asarray(bnorm_j)
-        target = tolerance * bnorm
-        for _ in range(max(refinement_steps, 1)):
-            if _np.all(rnorm <= _np.maximum(target, 1e-300)):
-                break
-            needed = _np.min(target / _np.maximum(rnorm, 1e-300))
-            inner_tol = float(
-                _np.clip(0.5 * needed, multigrid.INNER_TOL_FLOOR, 0.5)
-            )
-            d, iters, _ = multigrid._pcg_run(
-                r64.astype(jnp.float32),
-                jnp.zeros(r64.shape, jnp.float32),
-                jnp.asarray(inner_tol, jnp.float32),
-                levels_j,
-                max_iterations=max_iterations,
-                precond_dtype=multigrid._precond_dtype_for((h, w)),
-            )
-            total_iters += int(iters)
-            x64 = _accumulate64(x64, d, umask_j)
-            del d
-            r64, rnorm_j, bnorm_j = _residual_from_image(
-                chunk, x64, umask_j, deg_j
-            )
-            rnorm = _np.asarray(rnorm_j)
+        total_iters += int(iters_j)
         err = max(err, float(_np.max(rnorm / _np.maximum(bnorm, 1e-300))))
         solve_s += _time.perf_counter() - t_solve0
+        if masked_values_output:
+            # compact D2H: n f64 values per band instead of the full raster
+            masked_vals.append(_np.asarray(_gather_masked(x64, iy, ix)))
+            del chunk, x64
+            continue
         out_chunk = _composite(chunk, x64, umask_j)
-        del chunk, x64, r64
+        del chunk, x64
         if band_sink is not None:
             band_sink(s, e, out_chunk)
             del out_chunk
@@ -205,11 +353,14 @@ def laplace_fill(
             # a ragged tail chunk gets its own jit specialization
             filled = _write_bands(filled, out_chunk, s)
             del out_chunk
-    if squeeze and filled is not None:
-        filled = filled[0]
     if stats is not None:
         stats["solve_s"] = solve_s
         stats["transfer_wait_s"] = transfer_s
+    if masked_values_output:
+        vals = _np.concatenate(masked_vals, axis=0)
+        return CGResult(vals[0] if squeeze else vals, total_iters, err)
+    if squeeze and filled is not None:
+        filled = filled[0]
     if not device_output and filled is not None:
         filled = _np.asarray(filled)
     return CGResult(filled, total_iters, err)

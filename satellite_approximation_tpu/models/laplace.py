@@ -76,6 +76,38 @@ def solve_matrix(
         out = images[0] if squeeze else images
         return out, CGResult(out, 0, 0.0)
 
+    n = int(umask.sum())
+    use_mg = config.use_multigrid and n >= config.mg_threshold_pixels
+
+    # Device-first fast path: when the f64 input is exactly representable
+    # in f32 (every u8/u16-derived raster), upload the f32 image and
+    # assemble b/x0 in f64 ON DEVICE, then fetch only the n solved values
+    # back — on tunneled-TPU hosts this cuts per-solve transfers from
+    # ~3 full f64 rasters to one f32 raster + n doubles.
+    img32 = images.astype(np.float32)
+    if config.device_assembly == "force" or (
+        config.device_assembly == "auto"
+        and np.array_equal(img32.astype(np.float64), images)
+    ):
+        from .fill import laplace_fill
+
+        result = laplace_fill(
+            img32,
+            umask,
+            tolerance=1e-9 if use_mg else 1e-7,  # ~ Eigen machine-eps default
+            refinement_steps=max(config.refinement_steps, 4),
+            max_iterations=200 if use_mg else 4 * n + 64,
+            use_multigrid=use_mg,
+            masked_values_output=True,
+        )
+        filled = images.copy()
+        ys, xs = np.nonzero(umask)
+        filled[:, ys, xs] = result.x  # (C, n): images is 3-D here
+        out = filled[0] if squeeze else filled
+        return out, result
+
+    # Exact-f64 fallback (inputs with more than f32 mantissa precision):
+    # host assembly, full-raster transfers.
     b = _laplace_rhs(images, umask)
     deg = np.full(invalid.shape, 4.0, dtype=np.float32)
     # warm start: solve from the known-image values inside the mask
@@ -84,8 +116,7 @@ def solve_matrix(
     from .cg import solve_banded_chunks
     import functools
 
-    n = int(umask.sum())
-    if config.use_multigrid and n >= config.mg_threshold_pixels:
+    if use_mg:
         solver = functools.partial(
             multigrid.solve, umask=umask, deg=deg, tolerance=1e-9,
             refinement_steps=max(config.refinement_steps, 2),

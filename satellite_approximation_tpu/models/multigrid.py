@@ -260,9 +260,12 @@ def _v_cycle(levels_j, b, u, lvl):
     return u
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "precond_dtype"))
-def _pcg_run(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
-    """MG-preconditioned CG over (..., H, W) batches. ``levels_j`` is a
+def _pcg_core(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
+    """Traceable MG-PCG body — callable from inside other jitted programs
+    (the fused refinement solve in models/fill.py); :data:`_pcg_run` is the
+    jitted entry point.
+
+    MG-preconditioned CG over (..., H, W) batches. ``levels_j`` is a
     pytree of (umask, deg) per level, passed as traced arguments so the
     compilation caches on *shapes* — new cloud masks reuse the executable."""
     um0, deg0 = levels_j[0]
@@ -322,6 +325,11 @@ def _pcg_run(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
         return x, it, dots(r, r) / jnp.maximum(bs, jnp.finfo(b.dtype).tiny)
 
     return run(b, x0, tol)
+
+
+_pcg_run = functools.partial(
+    jax.jit, static_argnames=("max_iterations", "precond_dtype")
+)(_pcg_core)
 
 
 # repeated solves on the same mask (multi-date fills, refinement passes,

@@ -85,30 +85,61 @@ def _solve(
     if n_unknowns == 0:
         return np.asarray(inputs, dtype=np.float64)
 
-    b = _poisson_rhs(replacement, inputs, umask)
     max_iters = max_iterations if max_iterations is not None else max(n_unknowns // 2, 1)
-
-    from .cg import solve_banded_chunks
+    use_mg = config.use_multigrid and n_unknowns >= config.mg_threshold_pixels
 
     start = time.perf_counter()
-    x0 = np.asarray(replacement, dtype=np.float64) * umask
-    if config.use_multigrid and n_unknowns >= config.mg_threshold_pixels:
-        solver = functools.partial(
-            multigrid.solve,
-            umask=umask,
-            deg=neighbor_degree(umask.shape),
+    # Device-first fast path (see laplace.solve_matrix): when both stacks
+    # are exactly f32-representable, upload f32 images, assemble the
+    # guidance-divergence RHS in f64 ON DEVICE inside one fused refinement
+    # program, and fetch back only the n solved values.
+    inp32 = np.asarray(inputs, np.float32)
+    rep32 = np.asarray(replacement, np.float32)
+    if config.device_assembly == "force" or (
+        config.device_assembly == "auto"
+        and np.array_equal(inp32.astype(np.float64), np.asarray(inputs, np.float64))
+        and np.array_equal(rep32.astype(np.float64), np.asarray(replacement, np.float64))
+    ):
+        from .fill import laplace_fill
+
+        result = laplace_fill(
+            inp32,
+            umask,
             tolerance=tolerance,
-            refinement_steps=config.refinement_steps,
+            refinement_steps=max(config.refinement_steps, 1),
+            max_iterations=200 if use_mg else max_iters,
+            use_multigrid=use_mg,
+            masked_values_output=True,
+            replacement=rep32,
         )
+        out = np.asarray(inputs, dtype=np.float64).copy()
+        ys, xs = np.nonzero(umask)
+        out[..., ys, xs] = result.x  # (C, n): inputs is 3-D here
     else:
-        solver = functools.partial(
-            solve_masked_poisson,
-            umask=umask,
-            tolerance=tolerance,
-            max_iterations=max_iters,
-            refinement_steps=config.refinement_steps,
-        )
-    result = solve_banded_chunks(solver, b, x0=x0)
+        b = _poisson_rhs(replacement, inputs, umask)
+
+        from .cg import solve_banded_chunks
+
+        x0 = np.asarray(replacement, dtype=np.float64) * umask
+        if use_mg:
+            solver = functools.partial(
+                multigrid.solve,
+                umask=umask,
+                deg=neighbor_degree(umask.shape),
+                tolerance=tolerance,
+                refinement_steps=config.refinement_steps,
+            )
+        else:
+            solver = functools.partial(
+                solve_masked_poisson,
+                umask=umask,
+                tolerance=tolerance,
+                max_iterations=max_iters,
+                refinement_steps=config.refinement_steps,
+            )
+        result = solve_banded_chunks(solver, b, x0=x0)
+        out = np.asarray(inputs, dtype=np.float64).copy()
+        out[..., umask] = result.x[..., umask]
     solve_ms = (time.perf_counter() - start) * 1e3
     _logger.debug(
         "Solution found after %d iterations with %.4e error", result.iterations, result.error
@@ -124,8 +155,6 @@ def _solve(
             solve_time=solve_ms,
         ).write(perf_path)
 
-    out = np.asarray(inputs, dtype=np.float64).copy()
-    out[..., umask] = result.x[..., umask]
     return out
 
 

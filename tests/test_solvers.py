@@ -101,6 +101,60 @@ class TestLaplace:
         np.testing.assert_array_equal(changed, expected)
 
 
+class TestDeviceAssemblyPolicy:
+    """The three device_assembly policies (SolverConfig) agree with the
+    oracle: "auto" fuses only for f32-exact inputs, "force" fuses always
+    (f32 input rounding stays far below the solve tolerance), "never"
+    keeps host assembly."""
+
+    def _cfg(self, policy):
+        import dataclasses
+
+        from satellite_approximation_tpu.config import DEFAULT_SOLVER
+
+        return dataclasses.replace(DEFAULT_SOLVER, device_assembly=policy)
+
+    def test_laplace_auto_fused_for_u8_inputs(self):
+        # u8-quantized image: exactly f32-representable -> fused device path
+        img = np.round(smooth_image(40, 50) * 255.0)
+        mask = blob_mask(40, 50)
+        ours = fill_missing_portion_smooth_boundary(img.copy(), mask)
+        oracle = laplace_fill_oracle(img, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-5)
+        np.testing.assert_array_equal(ours[~mask], img[~mask])
+
+    def test_laplace_force_matches_never(self):
+        img = smooth_image(40, 50)  # f64, NOT f32-exact
+        mask = blob_mask(40, 50)
+        forced, info_f = solve_matrix(img.copy(), mask, self._cfg("force"))
+        host, info_h = solve_matrix(img.copy(), mask, self._cfg("never"))
+        assert info_f.error < 1e-6 and info_h.error < 1e-6
+        np.testing.assert_allclose(forced, host, atol=1e-5)
+        np.testing.assert_array_equal(forced[~mask], img[~mask])
+
+    def test_poisson_auto_fused_for_u8_inputs(self):
+        h, w = 36, 44
+        inputs = np.stack([np.round(smooth_image(h, w, seed=s) * 255) for s in range(3)])
+        repl = np.stack([np.round(smooth_image(h, w, seed=s + 10) * 255) for s in range(3)])
+        mask = blob_mask(h, w, seed=11)
+        ours = blend_images_poisson(inputs, repl, invalid_mask=mask, tolerance=1e-10)
+        oracle = poisson_blend_oracle(inputs, repl, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+        np.testing.assert_array_equal(ours[:, ~mask], inputs[:, ~mask])
+
+    def test_poisson_force_matches_oracle(self):
+        h, w = 36, 44
+        inputs = np.stack([smooth_image(h, w, seed=s) for s in range(2)])
+        repl = np.stack([smooth_image(h, w, seed=s + 10) for s in range(2)])
+        mask = blob_mask(h, w, seed=11)
+        ours = blend_images_poisson(
+            inputs, repl, invalid_mask=mask, tolerance=1e-8, config=self._cfg("force")
+        )
+        oracle = poisson_blend_oracle(inputs, repl, mask)
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+        np.testing.assert_array_equal(ours[:, ~mask], inputs[:, ~mask])
+
+
 class TestPoisson:
     def test_mask_overload_matches_oracle(self):
         h, w = 36, 44
