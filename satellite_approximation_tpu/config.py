@@ -73,6 +73,12 @@ class RefinementConfig:
         1.0 / 31.0,
     )
     surface_resolution: int = 256  # :206
+    # "host": numpy/scipy alpha+beta (reference-exact, the default — on
+    # tunneled-TPU hosts the device gathers + D2H cost more than they save);
+    # "jax": the fused on-device backend (models/detection/refinement_jax),
+    # equality-tested against host in tests/test_refinement_jax.py — pick
+    # for TPU-resident deployments where rasters already live in HBM.
+    backend: str = "host"
 
 
 @dataclasses.dataclass(frozen=True)

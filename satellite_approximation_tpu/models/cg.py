@@ -194,7 +194,7 @@ def solve_masked_poisson(
     tolerance: float = 1e-6,
     max_iterations: int | None = None,
     refinement_steps: int = 2,
-    dtype=jnp.float32,
+    dtype=jnp.float32,  # kept for API compatibility; the fused path is f32
     device_output: bool = False,
 ) -> CGResult:
     """Solve A u = b over the unknown set ``umask`` with CG + f64 refinement.
@@ -224,40 +224,26 @@ def solve_masked_poisson(
     deg_j = jnp.asarray(deg, dtype=jnp.float32)
 
     umf = umask_j.astype(jnp.float64)
-    x64_j = (
+    x064 = (
         jnp.zeros(b64_j.shape, jnp.float64)
         if x0 is None
         else jnp.asarray(x0, dtype=jnp.float64).reshape(b64_j.shape) * umf
     )
 
-    total_iters = 0
-    bnorm = np.asarray(
-        jnp.linalg.norm((b64_j * umf).reshape(b64_j.shape[0], -1), axis=1)
-    )
-    target = tolerance * bnorm
+    # one fused program: the f64 refinement loop (adaptive inner tolerance —
+    # each inner f32 CG only covers the *remaining* reduction factor) and
+    # the CG while_loop compile together; only the final norms come back
+    from .fill import _fused_refine_solve
 
-    r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+    x64_j, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+        b64_j, x064, umask_j, deg_j, (), jnp.float64(tolerance),
+        max_iterations=max_iterations,
+        refinement_steps=max(refinement_steps, 1),
+        precond_dtype=jnp.float32, use_multigrid=False, mode="rhs",
+    )
     rnorm = np.asarray(rnorm_j)
-    for step in range(max(refinement_steps, 1)):
-        if np.all(rnorm <= np.maximum(target, 1e-300)):
-            break
-        # inner f32 CG on the residual system A d = r; the inner tolerance
-        # only needs to cover the *remaining* reduction factor, so later
-        # refinement passes converge in a handful of iterations
-        needed = np.min(target / np.maximum(rnorm, 1e-300))
-        inner_tol = float(np.clip(0.5 * needed, 5e-8, 0.5))
-        d, iters, _ = _cg_kernel(
-            r64_j.astype(dtype),
-            jnp.zeros(r64_j.shape, dtype=dtype),
-            umask_j,
-            deg_j,
-            jnp.asarray(inner_tol, dtype=dtype),
-            max_iterations,
-        )
-        total_iters += int(iters)
-        x64_j = _accumulate64(x64_j, d, umask_j)
-        r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
-        rnorm = np.asarray(rnorm_j)
+    bnorm = np.asarray(bnorm_j)
+    total_iters = int(iters_j)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
     if device_output:

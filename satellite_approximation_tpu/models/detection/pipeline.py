@@ -239,16 +239,37 @@ def detect(
         )
 
     _logger.debug(" --- Generating Probability Function...")
+    use_jax_refinement = config.refinement.backend == "jax"
     with timer.stage("alpha map"):
-        alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
+        if use_jax_refinement:
+            from . import refinement_jax
+
+            alpha = np.asarray(
+                refinement_jax.alpha_map_jax(
+                    psm.difference_of_pitfill_nir,
+                    config.refinement.alpha_a,
+                    config.refinement.alpha_b,
+                )
+            )
+        else:
+            alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
     with timer.stage("beta map"):
-        beta = refinement.beta_map(
-            match.shadows,
-            match.solutions,
-            generated.blended_cloud_probability,
-            diagonal_distance,
-            config.refinement,
-        )
+        if use_jax_refinement:
+            beta = refinement_jax.beta_map_jax(
+                match.shadows,
+                match.solutions,
+                generated.blended_cloud_probability,
+                diagonal_distance,
+                config.refinement,
+            )
+        else:
+            beta = refinement.beta_map(
+                match.shadows,
+                match.solutions,
+                generated.blended_cloud_probability,
+                diagonal_distance,
+                config.refinement,
+            )
     with timer.stage("probability surface"):
         surface = refinement.probability_map(
             match.shadow_mask, alpha, beta, config.refinement

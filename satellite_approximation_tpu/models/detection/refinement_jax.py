@@ -1,0 +1,263 @@
+"""Device (jit) backend for the probability-refinement stages.
+
+The host backend in :mod:`refinement` replicates the reference's numerics
+(ProbabilityRefinement.cpp) with numpy/scipy; this module provides the same
+stages as XLA programs — equality-tested against the host backend in
+tests/test_refinement_jax.py:
+
+* :func:`alpha_map_jax` — the logistic remap, elementwise on device;
+* :func:`beta_map_jax` — the per-shadow radial falloff, bucketed into
+  statically-shaped influence windows (the same bucket strategy as
+  matching) and evaluated by ONE fused program per bucket: an exact
+  integer Euclidean distance transform (column scan + row min-plus
+  reduction — no data-dependent control flow), the quadratic radial
+  falloff, the f64 inverse-cast back-projection of the blurred CLP, and a
+  max-composite carried through ``lax.scan``.
+
+Like matching, the pipeline default is chosen by measurement: the back-
+projection gather is XLA-hostile on TPU (irregular gathers lower to slow
+scatter/gather loops) and the tunneled-host D2H makes device rasters
+expensive to fetch, so the host path remains the pipeline default; this
+backend is the pure-jit alternative for TPU-resident deployments.
+
+Exactness notes (why host and device agree):
+* the EDT is computed in integer arithmetic (squared distances are exact
+  in i32 for any bucket size used here), then rooted in f64 — the same
+  correctly-rounded value scipy's EDT produces;
+* the back-projection runs in f64 with the host's operation order
+  (pixel_to_world -> M^-1 -> world_to_index floor semantics);
+* the falloff factor is f32 like Functions.cpp:151-162; XLA's FMA fusion
+  may differ from numpy by ulps, so the equality tests assert exact mask
+  agreement on real data plus 1e-6-level closeness on the float surfaces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import RefinementConfig
+from ...ops import geometry
+from .matching import OptimalSolution, ShadowObject, _bucket_size
+from .refinement import _border_mask
+
+_EDT_CHUNK = 16  # columns per min-plus step: (hb, wb, 16) i32 intermediates
+_NO_SEED = np.int32(1 << 15)  # farther than any window diagonal; square fits i32
+
+
+@jax.jit
+def alpha_map_jax(nir_difference, alpha_a: float = 17.0, alpha_b: float = 0.007):
+    """Device alpha map: F(x) = f(x-.5) - f(-.5), f(x)=1/(1+b e^{-ax}), f32
+    (ProbabilityRefinement.cpp:13-27)."""
+    a = jnp.float32(alpha_a)
+    b = jnp.float32(alpha_b)
+    x = jnp.asarray(nir_difference, jnp.float32)
+
+    def f(v):
+        return jnp.float32(1.0) / (jnp.float32(1.0) + b * jnp.exp(-a * v))
+
+    return f(x - jnp.float32(0.5)) - f(jnp.float32(-0.5))
+
+
+def _edt_sq(seeds, extent_h, extent_w):
+    """Exact squared Euclidean distance to the nearest seed, i32.
+
+    Two-phase separable EDT without data-dependent control flow:
+    phase 1 scans each column for the nearest seed row (cummax of seed row
+    indices, both directions); phase 2 is a min-plus reduction over columns
+    in chunks — O(hb * wb^2 / VPU) with (hb, wb, chunk) working sets.
+    """
+    hb, wb = seeds.shape
+    rows = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+    in_ext = (rows < extent_h) & (
+        lax.broadcasted_iota(jnp.int32, (hb, wb), 1) < extent_w
+    )
+    seeds = seeds & in_ext
+
+    neg_big = jnp.int32(-(1 << 20))
+    pos_big = jnp.int32(1 << 20)
+    seed_rows = jnp.where(seeds, rows, neg_big)
+    above = rows - lax.cummax(seed_rows, axis=0)  # dist to seed at <= row
+    seed_rows_r = jnp.where(seeds, rows, pos_big)
+    below = lax.cummin(seed_rows_r, axis=0, reverse=True) - rows
+    g = jnp.minimum(jnp.minimum(above, below), _NO_SEED)  # (hb, wb) i32
+    g2 = g * g
+
+    cols = jnp.arange(wb, dtype=jnp.int32)
+    # bucket widths are powers of two, so the chunk always divides wb and
+    # dynamic_slice never clamps
+    chunk = min(_EDT_CHUNK, wb)
+
+    def step(k, acc):
+        x0 = k * chunk
+        gsl = lax.dynamic_slice(g2, (0, x0), (hb, chunk))  # (hb, c)
+        xs = x0 + jnp.arange(chunk, dtype=jnp.int32)  # (c,)
+        dx = cols[:, None] - xs[None, :]  # (wb, c)
+        cand = dx[None, :, :] * dx[None, :, :] + gsl[:, None, :]  # (hb, wb, c)
+        return jnp.minimum(acc, cand.min(axis=-1))
+
+    acc0 = jnp.full((hb, wb), jnp.int32(2**30))
+    return lax.fori_loop(0, wb // chunk, step, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "wb", "height", "width"))
+def _beta_bucket(
+    clp_f,  # (H, W) f32, flipped rows (bottom-origin), shared
+    ret_f,  # (H + hb, W + wb) f32 carry, flipped + padded
+    in_shadow,  # (Ns, hb, wb) bool
+    border,  # (Ns, hb, wb) bool
+    anchor,  # (Ns, 2) i32: (ib_x0, ib_y0)
+    extent,  # (Ns, 2) i32: (ih, iw) true influence size
+    inf_f,  # (Ns,) f32
+    lo,  # (Ns,) f32 — inf * beta_min_factor
+    mid,  # () f32 — beta_mid_percentile
+    minv,  # (Ns, 4, 4) f64
+    sx,  # () f64
+    sy,  # () f64
+    hb: int,
+    wb: int,
+    height: int,
+    width: int,
+):
+    """Max-composite the radial-falloff contributions of one bucket of
+    shadows into ``ret_f`` (ProbabilityRefinement.cpp:29-106), sequentially
+    via scan (bounded memory), each step one fused window pass."""
+    u = jnp.arange(wb, dtype=jnp.int32)[None, :]
+    v = jnp.arange(hb, dtype=jnp.int32)[:, None]
+
+    def one(ret_f, args):
+        shadow, bord, anc, ext, inf, lo_s, minv_s = args
+        ix0, iy0 = anc[0], anc[1]
+        ih, iw = ext[0], ext[1]
+
+        d2 = _edt_sq(bord, ih, iw)
+        dist = jnp.sqrt(d2.astype(jnp.float64)).astype(jnp.float32)
+        dist = jnp.where(shadow, jnp.float32(0.0), dist)
+        within = dist <= inf
+
+        # quadratic radial basis, f32 (Functions.cpp:151-162)
+        hi = inf
+        a = mid * hi + (1 - mid) * lo_s
+        span2 = (hi - lo_s) * (hi - lo_s)
+        falling = 1 - (dist - lo_s) * (dist - lo_s) / (span2 * mid)
+        rising = (dist - hi) * (dist - hi) / (span2 * (1 - mid))
+        factor = jnp.where(
+            dist <= lo_s,
+            jnp.float32(1.0),
+            jnp.where(dist <= a, falling, jnp.where(dist <= hi, rising, jnp.float32(0.0))),
+        )
+
+        # f64 back-projection with the host's op order: pixel centre ->
+        # world -> M^-1 -> floor index (ImageOperations.h pos/index)
+        gx = (ix0 + u).astype(jnp.float64)
+        gy = (iy0 + v).astype(jnp.float64)
+        px = sx * (gx + 0.5) / width
+        py = sy * (gy + 0.5) / height
+        back0 = minv_s[0, 0] * px + minv_s[0, 1] * py + minv_s[0, 3]
+        back1 = minv_s[1, 0] * px + minv_s[1, 1] * py + minv_s[1, 3]
+        ci = jnp.floor(width * back0 / sx).astype(jnp.int32)
+        cj = jnp.floor(height * back1 / sy).astype(jnp.int32)
+        valid = (ci >= 0) & (ci < width) & (cj >= 0) & (cj < height)
+        clp_v = clp_f[jnp.clip(cj, 0, height - 1), jnp.clip(ci, 0, width - 1)]
+
+        in_ext = (v < ih) & (u < iw)
+        contrib = jnp.where(
+            within & valid & in_ext, clp_v * factor, jnp.float32(0.0)
+        )
+        region = lax.dynamic_slice(ret_f, (iy0, ix0), (hb, wb))
+        ret_f = lax.dynamic_update_slice(
+            ret_f, jnp.maximum(region, contrib), (iy0, ix0)
+        )
+        return ret_f, None
+
+    ret_f, _ = lax.scan(
+        one, ret_f, (in_shadow, border, anchor, extent, inf_f, lo, minv)
+    )
+    return ret_f
+
+
+def beta_map_jax(
+    shadows: dict[int, ShadowObject],
+    solutions: dict[int, OptimalSolution],
+    clp_blended: np.ndarray,
+    diagonal: float,
+    config: RefinementConfig = RefinementConfig(),
+) -> np.ndarray:
+    """Device beta map: same contract as :func:`refinement.beta_map`,
+    evaluated as one fused XLA program per window-size bucket."""
+    h, w = clp_blended.shape
+    sx, sy = geometry.sides((h, w), diagonal)
+    clp_j = jnp.asarray(np.flipud(np.asarray(clp_blended, np.float32)).copy())
+
+    # host prep: per accepted shadow, the influence window geometry and the
+    # (tiny) bbox-border stencil — pure indexing, no floating-point compute
+    items = []
+    for sid, shadow in shadows.items():
+        if shadow.window is None or shadow.area == 0 or shadow.bounds is None:
+            continue
+        sol = solutions[sid]
+        m_inv = np.linalg.inv(sol.M)
+        inf_f = float(
+            np.clip(
+                np.float32(config.beta_area_correction) * np.sqrt(np.float32(shadow.area)),
+                config.beta_min_distance,
+                config.beta_max_distance,
+            )
+        )
+        inf_i = int(np.floor(inf_f))
+        bx0, by0, bx1, by1 = shadow.bounds
+        ib_x0 = int(np.clip(bx0 - inf_i, 0, w - 1))
+        ib_y0 = int(np.clip(by0 - inf_i, 0, h - 1))
+        ib_x1 = int(np.clip(bx1 + inf_i, 0, w - 1))
+        ib_y1 = int(np.clip(by1 + inf_i, 0, h - 1))
+        iw_t, ih_t = ib_x1 - ib_x0 + 1, ib_y1 - ib_y0 + 1
+
+        ax, ay = shadow.anchor
+        win = shadow.window
+        bbox = np.zeros((by1 - by0 + 1, bx1 - bx0 + 1), dtype=bool)
+        bbox[:, :] = win[by0 - ay : by1 - ay + 1, bx0 - ax : bx1 - ax + 1]
+        border = _border_mask(bbox)
+
+        in_shadow = np.zeros((ih_t, iw_t), bool)
+        bord_g = np.zeros((ih_t, iw_t), bool)
+        oy0, ox0 = by0 - ib_y0, bx0 - ib_x0
+        in_shadow[oy0 : oy0 + bbox.shape[0], ox0 : ox0 + bbox.shape[1]] = bbox
+        bord_g[oy0 : oy0 + bbox.shape[0], ox0 : ox0 + bbox.shape[1]] = border
+        items.append(
+            dict(
+                anchor=(ib_x0, ib_y0), extent=(ih_t, iw_t), inf=inf_f,
+                lo=inf_f * config.beta_min_factor, minv=m_inv,
+                in_shadow=in_shadow, border=bord_g,
+            )
+        )
+
+    max_b = _bucket_size(max((max(it["extent"]) for it in items), default=8))
+    ret = jnp.zeros((h + max_b, w + max_b), jnp.float32)
+
+    buckets: dict[tuple[int, int], list[dict]] = {}
+    for it in items:
+        key = (_bucket_size(it["extent"][0]), _bucket_size(it["extent"][1]))
+        buckets.setdefault(key, []).append(it)
+
+    for (hb, wb), members in buckets.items():
+        pad = lambda a: np.pad(a, ((0, hb - a.shape[0]), (0, wb - a.shape[1])))
+        ret = _beta_bucket(
+            clp_j,
+            ret,
+            jnp.asarray(np.stack([pad(it["in_shadow"]) for it in members])),
+            jnp.asarray(np.stack([pad(it["border"]) for it in members])),
+            jnp.asarray([it["anchor"] for it in members], jnp.int32),
+            jnp.asarray([it["extent"] for it in members], jnp.int32),
+            jnp.asarray([it["inf"] for it in members], jnp.float32),
+            jnp.asarray([it["lo"] for it in members], jnp.float32),
+            jnp.float32(config.beta_mid_percentile),
+            jnp.asarray(np.stack([it["minv"] for it in members]), jnp.float64),
+            jnp.float64(sx),
+            jnp.float64(sy),
+            hb=hb, wb=wb, height=h, width=w,
+        )
+    return np.flipud(np.asarray(ret[:h, :w])).copy()

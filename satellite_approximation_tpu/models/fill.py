@@ -117,6 +117,9 @@ def _fused_refine_solve(
     * "poisson": b = guidance divergence of ``rep32`` + Dirichlet sums of
       ``img32`` (poisson.cpp:103-123/241-254); x0 = rep32 over the mask
       (solveWithGuess parity, poisson.cpp:231-257).
+    * "rhs": ``img32`` IS the f64 right-hand side and ``rep32`` the f64
+      warm start — the raw-system entry for multigrid.solve and
+      solve_masked_poisson.
 
     Returns (x64, iterations, rnorm_per_band, bnorm_per_band).
     """
@@ -127,6 +130,8 @@ def _fused_refine_solve(
     deg64 = deg.astype(jnp.float64)
 
     def b64():
+        if mode == "rhs":
+            return img32.astype(jnp.float64) * um64
         inp64 = img32.astype(jnp.float64)
         dirichlet = shift_sum(inp64 * (1.0 - um64)) * um64
         if mode == "laplace":

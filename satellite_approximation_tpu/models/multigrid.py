@@ -393,49 +393,31 @@ def solve(
 
     pdtype = _precond_dtype_for(umask.shape)
 
-    def solver(bb, xx0, tol):
-        return _pcg_run(
-            bb, xx0, tol, levels_j,
-            max_iterations=max_iterations, precond_dtype=pdtype,
-        )
-
-    from .cg import _residual64_device, _accumulate64
-
     umask_j = levels_j[0][0]
     deg_j = jnp.asarray(deg)
     umf = umask_j.astype(jnp.float64)
-    x64_j = (
+    x064 = (
         jnp.zeros(b64_j.shape, jnp.float64)
         if x0 is None
         else jnp.asarray(x0, dtype=jnp.float64).reshape(b64_j.shape) * umf
     )
-    bnorm = np.asarray(
-        jnp.linalg.norm((b64_j * umf).reshape(b64_j.shape[0], -1), axis=1)
-    )
-    target = tolerance * bnorm
 
-    total_iters = 0
-    r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
+    # one fused program: the f64 refinement loop (with its adaptive inner
+    # tolerance, floored at INNER_TOL_FLOOR — driving f32 PCG far below
+    # ~1e-4 against a finite-precision preconditioner grinds iterations
+    # near its noise floor) and the inner PCG while_loop compile together;
+    # only the final norms cross back to the host
+    from .fill import _fused_refine_solve
+
+    x64_j, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+        b64_j, x064, umask_j, deg_j, levels_j, jnp.float64(tolerance),
+        max_iterations=max_iterations,
+        refinement_steps=max(refinement_steps, 1),
+        precond_dtype=pdtype, use_multigrid=True, mode="rhs",
+    )
     rnorm = np.asarray(rnorm_j)
-    for _ in range(max(refinement_steps, 1)):
-        if np.all(rnorm <= np.maximum(target, 1e-300)):
-            break
-        needed = np.min(target / np.maximum(rnorm, 1e-300))
-        # floor the inner tolerance: driving f32 CG far below ~1e-4 against
-        # a finite-precision preconditioner grinds iterations near its noise
-        # floor (mask-dependent; measured up to 89 vs 23 iterations at
-        # 2048^2). The outer f64 refinement recovers the remaining digits
-        # in one or two cheap extra passes.
-        inner_tol = float(np.clip(0.5 * needed, INNER_TOL_FLOOR, 0.5))
-        d, iters, _ = solver(
-            r64_j.astype(jnp.float32),
-            jnp.zeros(r64_j.shape, jnp.float32),
-            jnp.asarray(inner_tol, jnp.float32),
-        )
-        total_iters += int(iters)
-        x64_j = _accumulate64(x64_j, d, umask_j)
-        r64_j, rnorm_j = _residual64_device(b64_j, x64_j, umask_j, deg_j)
-        rnorm = np.asarray(rnorm_j)
+    bnorm = np.asarray(bnorm_j)
+    total_iters = int(iters_j)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
     if device_output:
