@@ -271,13 +271,23 @@ def detect(
                 config.refinement,
             )
     with timer.stage("probability surface"):
-        surface = refinement.probability_map(
-            match.shadow_mask, alpha, beta, config.refinement
-        )
+        if use_jax_refinement:
+            surface = refinement_jax.probability_map_jax(
+                match.shadow_mask, alpha, beta, config.refinement
+            )
+        else:
+            surface = refinement.probability_map(
+                match.shadow_mask, alpha, beta, config.refinement
+            )
 
     _logger.debug(" --- Final Shadow Mask Generation...")
     with timer.stage("final mask"):
-        final = refinement.improved_shadow_mask(
+        mask_fn = (
+            refinement_jax.improved_shadow_mask_jax
+            if use_jax_refinement
+            else refinement.improved_shadow_mask
+        )
+        final = mask_fn(
             match.shadow_mask,
             generated.cloud_mask,
             alpha,

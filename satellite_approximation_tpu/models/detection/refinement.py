@@ -332,10 +332,18 @@ def _probability_map_element(
     cell = i + d * j
     counts = np.bincount(cell, minlength=d * d).astype(np.int64)
     sums = np.bincount(cell, weights=shadow.ravel().astype(np.float64), minlength=d * d)
+    return element_from_histogram(counts.reshape(d, d), sums.reshape(d, d))
 
+
+def element_from_histogram(
+    counts2: np.ndarray, sums2: np.ndarray
+) -> UniformProbabilitySurface:
+    """Histogram (counts, sums of the shadow indicator) -> hole-filled
+    surface element. Shared tail of :func:`_probability_map_element`; also
+    fed by the device histogram path (refinement_jax), whose f32 scatter-add
+    sums are exact integers and therefore identical to the host bincounts."""
+    d = counts2.shape[0]
     grid = np.zeros((d, d), dtype=np.float32)  # grid[j, i]; cell = i + d*j
-    counts2 = counts.reshape(d, d)
-    sums2 = sums.reshape(d, d)
     valid = counts2 > 0
     grid[valid] = (
         sums2[valid].astype(np.float32) / counts2[valid].astype(np.float32)
@@ -391,6 +399,15 @@ def probability_map(
         _probability_map_element(alpha, beta, shadow_mask.astype(np.float32), d)
         for d in config.histogram_divisions
     ]
+    return composite_surface(elements, config)
+
+
+def composite_surface(
+    elements: list[UniformProbabilitySurface],
+    config: RefinementConfig = RefinementConfig(),
+) -> UniformProbabilitySurface:
+    """Weight-blend the per-resolution elements onto the final n x n surface
+    (ProbabilityRefinement.cpp:188-224, composite loop)."""
     n = config.surface_resolution
     out = UniformProbabilitySurface(np.zeros((n, n), dtype=np.float32))
     out.alpha_min = 0.0

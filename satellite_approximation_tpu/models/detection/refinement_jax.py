@@ -12,7 +12,15 @@ tests/test_refinement_jax.py:
   integer Euclidean distance transform (column scan + row min-plus
   reduction — no data-dependent control flow), the quadratic radial
   falloff, the f64 inverse-cast back-projection of the blurred CLP, and a
-  max-composite carried through ``lax.scan``.
+  max-composite carried through ``lax.scan``;
+* :func:`probability_map_jax` — the raster-sized histogram accumulation
+  (ProbabilityRefinement.cpp:137-151) as device scatter-adds; the TINY
+  (d<=128 squared) sequential hole-fill and surface composite stay on the
+  host, where the reference's in-round update order is natural — only
+  d*d-cell grids cross the tunnel, not rasters;
+* :func:`improved_shadow_mask_jax` — the per-pixel surface sampling +
+  final mask logic (:226-241, :264-283) as one fused gather program over
+  the precomputed extended surface table.
 
 Like matching, the pipeline default is chosen by measurement: the back-
 projection gather is XLA-hostile on TPU (irregular gathers lower to slow
@@ -261,3 +269,108 @@ def beta_map_jax(
             hb=hb, wb=wb, height=h, width=w,
         )
     return np.flipud(np.asarray(ret[:h, :w])).copy()
+
+
+@functools.partial(jax.jit, static_argnames=("divisions",))
+def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
+    """Per-resolution (counts, sums) histograms of the shadow indicator over
+    (alpha, beta) cells (ProbabilityRefinement.cpp:137-151) as device
+    scatter-adds. Sums of 0/1 indicators are exact integers in f32 (cell
+    populations are bounded by the raster size << 2^24), so the results
+    match the host's f64 bincounts bit-for-bit after conversion."""
+    a = jnp.asarray(alpha, jnp.float32).ravel()
+    b = jnp.asarray(beta, jnp.float32).ravel()
+    s = jnp.asarray(shadow_f32, jnp.float32).ravel()
+    out = []
+    for d in divisions:
+        i = jnp.clip(jnp.floor(a * d).astype(jnp.int32), 0, d - 1)
+        j = jnp.clip(jnp.floor(b * d).astype(jnp.int32), 0, d - 1)
+        cell = i + d * j
+        counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(1)
+        sums = jnp.zeros((d * d,), jnp.float32).at[cell].add(s)
+        out.append((counts.reshape(d, d), sums.reshape(d, d)))
+    return tuple(out)
+
+
+def probability_map_jax(
+    shadow_mask: np.ndarray,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    config: RefinementConfig = RefinementConfig(),
+):
+    """Device-histogram variant of :func:`refinement.probability_map`.
+
+    The raster-sized accumulation runs on device; the d*d hole-fill (whose
+    reference-exact sequential in-round update order is inherently serial,
+    ProbabilityRefinement.cpp:162-183) and the 256x256 composite run on the
+    host via the shared helpers — tiny grids, negligible transfer."""
+    from . import refinement
+
+    hists = _histograms_jax(
+        jnp.asarray(np.asarray(alpha, np.float32)),
+        jnp.asarray(np.asarray(beta, np.float32)),
+        jnp.asarray(np.asarray(shadow_mask, np.float32)),
+        tuple(config.histogram_divisions),
+    )
+    elements = [
+        refinement.element_from_histogram(np.asarray(c), np.asarray(s))
+        for (c, s) in hists
+    ]
+    return refinement.composite_surface(elements, config)
+
+
+@jax.jit
+def _sample_final_jax(ext, alpha, beta, object_mask, cloud_mask, threshold):
+    """final = (bilinear-sample(P; alpha, beta) >= threshold OR object)
+    AND NOT cloud, gathering from the extended surface table
+    (ProbabilityRefinement.cpp:226-241 with operator() :264-283).
+
+    ``ext`` is the (n+2, n+2) table of surface.at(i, j) for i, j in
+    [-1, n] — every cell the sampler can touch for inputs in [0, 1], which
+    alpha/beta satisfy by construction (both are probabilities)."""
+    hgt = ext.shape[0] - 2
+    wdt = ext.shape[1] - 2
+    cellx = jnp.asarray(alpha, jnp.float32) * jnp.float32(wdt)
+    celly = jnp.asarray(beta, jnp.float32) * jnp.float32(hgt)
+
+    def roundf(x):  # half away from zero, like C roundf (:269-272)
+        return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+    x_max = roundf(cellx)
+    y_max = roundf(celly)
+    x_min = x_max - 1
+    y_min = y_max - 1
+    p0 = ext[y_min + 1, x_min + 1]
+    p1 = ext[y_min + 1, x_max + 1]
+    p2 = ext[y_max + 1, x_min + 1]
+    p3 = ext[y_max + 1, x_max + 1]
+    u = cellx - (x_min.astype(jnp.float32) + jnp.float32(0.5))
+    v = celly - (y_min.astype(jnp.float32) + jnp.float32(0.5))
+    bottom = (1 - u) * p0 + u * p1
+    top = (1 - u) * p2 + u * p3
+    prob = (1 - v) * bottom + v * top
+    ret = prob >= threshold
+    return (ret | object_mask) & ~cloud_mask
+
+
+def improved_shadow_mask_jax(
+    object_shadow_mask: np.ndarray,
+    cloud_mask: np.ndarray,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    surface,
+    threshold: float,
+) -> np.ndarray:
+    """Device variant of :func:`refinement.improved_shadow_mask`: the
+    raster-sized sampling + mask logic runs as one fused XLA program over
+    the host-precomputed extended surface table."""
+    ext = surface._extended()
+    out = _sample_final_jax(
+        jnp.asarray(ext),
+        jnp.asarray(np.asarray(alpha, np.float32)),
+        jnp.asarray(np.asarray(beta, np.float32)),
+        jnp.asarray(np.asarray(object_shadow_mask, bool)),
+        jnp.asarray(np.asarray(cloud_mask, bool)),
+        jnp.float32(threshold),
+    )
+    return np.asarray(out)

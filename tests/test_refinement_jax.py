@@ -142,6 +142,58 @@ class TestBetaMap:
         )
         np.testing.assert_array_equal(final_d, final_h)
 
+        # device histograms -> identical surface data (scatter-add sums of
+        # 0/1 indicators are exact integers, so the element grids match
+        # bit-for-bit)
+        surface_dj = refinement_jax.probability_map_jax(
+            match.shadow_mask, alpha_h, beta_h, cfg.refinement
+        )
+        np.testing.assert_array_equal(surface_dj.data, surface.data)
+
+        # device sampling of the same surface -> identical final mask
+        final_dev = refinement_jax.improved_shadow_mask_jax(
+            match.shadow_mask, gen.cloud_mask, alpha_h, beta_h, surface,
+            cfg.probability_threshold,
+        )
+        np.testing.assert_array_equal(final_dev, final_h)
+
+
+class TestProbabilitySurfaceJax:
+    def test_histograms_match_host_on_random(self):
+        """Random (alpha, beta, shadow): device surface == host surface."""
+        from satellite_approximation_tpu.config import RefinementConfig
+
+        rng = np.random.default_rng(11)
+        h, w = 120, 170
+        alpha = rng.random((h, w)).astype(np.float32)
+        beta = rng.random((h, w)).astype(np.float32)
+        # leave some histogram cells empty so the hole-fill path runs
+        beta[beta > 0.7] = 0.05
+        shadow = rng.random((h, w)) < 0.2
+        cfg = RefinementConfig()
+        host = refinement.probability_map(shadow, alpha, beta, cfg)
+        dev = refinement_jax.probability_map_jax(shadow, alpha, beta, cfg)
+        np.testing.assert_array_equal(dev.data, host.data)
+        np.testing.assert_array_equal(
+            (dev.alpha_min, dev.beta_min), (host.alpha_min, host.beta_min)
+        )
+
+    def test_final_sampling_matches_host_on_random(self):
+        rng = np.random.default_rng(13)
+        h, w = 90, 140
+        alpha = rng.random((h, w)).astype(np.float32)
+        beta = rng.random((h, w)).astype(np.float32)
+        surface = refinement.UniformProbabilitySurface(
+            rng.random((256, 256)).astype(np.float32)
+        )
+        surface.alpha_min = 0.0
+        surface.beta_min = 0.0
+        obj = rng.random((h, w)) < 0.1
+        cloud = rng.random((h, w)) < 0.1
+        host = refinement.improved_shadow_mask(obj, cloud, alpha, beta, surface, 0.15)
+        dev = refinement_jax.improved_shadow_mask_jax(obj, cloud, alpha, beta, surface, 0.15)
+        np.testing.assert_array_equal(dev, host)
+
 
 class TestPipelineBackendSwitch:
     def test_detect_with_jax_backend_matches_host(self, tmp_path):
