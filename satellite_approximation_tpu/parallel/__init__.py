@@ -11,6 +11,7 @@ from .mesh import make_mesh, spatial_band_mesh
 from .halo import halo_pad_rows
 from .solver import sharded_masked_cg, sharded_training_step
 from .mg import sharded_mg_solve
+from .fill import sharded_fill
 
 __all__ = [
     "make_mesh",
@@ -19,4 +20,5 @@ __all__ = [
     "sharded_masked_cg",
     "sharded_training_step",
     "sharded_mg_solve",
+    "sharded_fill",
 ]

@@ -155,3 +155,52 @@ class TestShardedMultigrid:
         )
         assert x.shape == (c, h, w)
         assert np.all(np.asarray(rel) <= 1e-6)
+
+
+class TestShardedFill:
+    def test_laplace_matches_single_device(self, mesh):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+        from satellite_approximation_tpu.parallel.fill import sharded_fill
+
+        rng = np.random.default_rng(9)
+        c, h, w = 2, 200, 160
+        image = (rng.random((c, h, w)) * 100).astype(np.float64)
+        umask = np.zeros((h, w), bool)
+        umask[40:160, 30:130] = True
+        umask[5:9, 100:140] = True  # region crossing a shard boundary
+
+        filled, iters, rel = sharded_fill(image, umask, mesh, tolerance=1e-7)
+        assert rel <= 1e-7
+        assert int(iters) > 0
+        filled = np.asarray(filled)
+        np.testing.assert_array_equal(filled[:, ~umask], image[:, ~umask])
+
+        ref = laplace_fill(
+            image, umask, tolerance=1e-9, refinement_steps=4, device_output=False
+        )
+        np.testing.assert_allclose(filled, np.asarray(ref.x), atol=5e-5)
+
+    def test_poisson_matches_single_device(self, mesh):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+        from satellite_approximation_tpu.parallel.fill import sharded_fill
+
+        rng = np.random.default_rng(10)
+        h, w = 128, 96
+        image = (rng.random((h, w)) * 50).astype(np.float64)
+        repl = (rng.random((h, w)) * 50 + 20).astype(np.float64)
+        umask = np.zeros((h, w), bool)
+        umask[30:100, 20:80] = True
+
+        filled, iters, rel = sharded_fill(
+            image, umask, mesh, replacement=repl, tolerance=1e-7
+        )
+        assert rel <= 1e-7
+        filled = np.asarray(filled)
+        assert filled.shape == (h, w)
+        np.testing.assert_array_equal(filled[~umask], image[~umask])
+
+        ref = laplace_fill(
+            image, umask, replacement=repl, tolerance=1e-9,
+            refinement_steps=4, device_output=False,
+        )
+        np.testing.assert_allclose(filled, np.asarray(ref.x), atol=5e-5)
