@@ -7,11 +7,25 @@ start from an all-ones surface, repeatedly apply
     F <- max(original, min over the 8-neighbourhood of F)
 
 with out-of-image neighbours fixed at ``border_value``, until nothing
-changes. The iteration is monotone non-increasing and selects only values
-already present in {original values, border_value}, so it converges exactly
-in finitely many sweeps. The reference ping-pongs two device buffers with a
-host-read "hasChanged" flag per sweep; here the whole loop is a single
+changes. The reference ping-pongs two device buffers with a host-read
+"hasChanged" flag per sweep; here the whole loop is a single
 ``lax.while_loop`` compiled on-device — no host round-trips at all.
+
+**Hierarchical acceleration.** One Jacobi sweep propagates escape
+information a single pixel, so the plain fixpoint needs O(basin diameter)
+full-raster sweeps — thousands at Sentinel-2 full-tile scale (10980^2).
+The fixpoint has a minimax-path characterization: F(p) = max(orig(p),
+min over escape paths pi from p to outside of max(orig along pi,
+border_value)). Max-pooling the original 2x2 preserves an upper bound:
+any coarse escape path threads adjacent fine blocks, and a fine path
+through those blocks has max <= the block maxima, so the coarse fixpoint
+(pointwise over its block) >= every fine fixpoint value in that block.
+Upsampled coarse fixpoints therefore seed each finer level's iteration
+*from above* — the monotone-decreasing sweep converges to the SAME unique
+from-above fixpoint, but now only needs to repair block-local detail:
+O(log n) levels with a handful of sweeps each instead of O(n) sweeps.
+Each level still runs to its exact fixpoint, so the result is bit-exact
+with the plain iteration (tests/test_ops.py::TestPitFill oracle).
 """
 
 from __future__ import annotations
@@ -19,6 +33,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_COARSEST = 64  # stop the pyramid when min dim is at or below this
 
 
 def _min8(f: jnp.ndarray, border_value) -> jnp.ndarray:
@@ -31,19 +47,12 @@ def _min8(f: jnp.ndarray, border_value) -> jnp.ndarray:
     return m
 
 
-@jax.jit
-def pit_fill(original: jnp.ndarray, border_value: jnp.ndarray | float) -> jnp.ndarray:
-    """Fill every pit of ``original`` relative to ``border_value``.
-
-    Matches PitFillAlgorithm::PitFillAlgorithmFilter
-    (PitFillAlgorithm.cpp:120-154) exactly at the fixpoint (the reference's
-    update schedule differs per-pixel but the fixpoint is unique).
-    """
-    original = original.astype(jnp.float32)
-    border_value = jnp.asarray(border_value, dtype=jnp.float32)
+def _fixpoint(original, border_value, f0):
+    """Run F <- max(original, min8(F)) from ``f0`` (>= the fixpoint) until
+    nothing changes. Always performs at least one sweep."""
 
     def cond(state):
-        f, changed = state
+        _, changed = state
         return changed
 
     def body(state):
@@ -51,8 +60,39 @@ def pit_fill(original: jnp.ndarray, border_value: jnp.ndarray | float) -> jnp.nd
         nf = jnp.maximum(original, _min8(f, border_value))
         return nf, jnp.any(nf != f)
 
-    init = jnp.ones_like(original)
-    # One unconditional first sweep so `changed` starts meaningfully.
-    first = jnp.maximum(original, _min8(init, border_value))
-    f, _ = lax.while_loop(cond, body, (first, jnp.any(first != init)))
+    f, _ = lax.while_loop(cond, body, (f0, jnp.asarray(True)))
+    return f
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    h, w = x.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    xp = jnp.pad(x, ((0, ph - h), (0, pw - w)), constant_values=-jnp.inf)
+    return xp.reshape(ph // 2, 2, pw // 2, 2).max(axis=(1, 3))
+
+
+@jax.jit
+def pit_fill(original: jnp.ndarray, border_value: jnp.ndarray | float) -> jnp.ndarray:
+    """Fill every pit of ``original`` relative to ``border_value``.
+
+    Matches PitFillAlgorithm::PitFillAlgorithmFilter
+    (PitFillAlgorithm.cpp:120-154) exactly at the fixpoint (the reference's
+    update schedule differs per-pixel but the from-above fixpoint is
+    unique; like the reference, inputs are assumed <= 1 so the all-ones
+    start dominates the answer).
+    """
+    original = original.astype(jnp.float32)
+    border_value = jnp.asarray(border_value, dtype=jnp.float32)
+
+    pyramid = [original]
+    while min(pyramid[-1].shape) > _COARSEST:
+        pyramid.append(_maxpool2(pyramid[-1]))
+
+    f = jnp.ones_like(pyramid[-1])  # reference's all-1s start, coarsest level
+    for lvl in range(len(pyramid) - 1, -1, -1):
+        orig_l = pyramid[lvl]
+        f = _fixpoint(orig_l, border_value, jnp.maximum(orig_l, f))
+        if lvl:
+            fh, fw = pyramid[lvl - 1].shape
+            f = jnp.repeat(jnp.repeat(f, 2, axis=0), 2, axis=1)[:fh, :fw]
     return f

@@ -161,6 +161,32 @@ class TestPitFill:
         assert out[4, 4] == pytest.approx(0.3)
         assert out[4, 8] == pytest.approx(0.3)
 
+    def test_hierarchical_path_matches_oracle(self):
+        """Grid above the pyramid threshold (exercises the coarse-to-fine
+        initialization) with a 1-px-wide snaking drain channel — max-pooling
+        seals such channels in the coarse upper bound, so the fine sweeps
+        must reopen them exactly."""
+        h, w = 150, 220
+        orig = (0.4 + 0.5 * rng.random((h, w))).astype(np.float32)
+        orig[30:120, 20:200] = 0.9  # high wall region
+        orig[35:115, 25:195] = 0.15  # deep basin inside
+        # snake channel: along row 40 to the right wall, up column 197,
+        # out through row 2
+        orig[40, 25:198] = 0.25
+        orig[2:41, 197] = 0.25
+        orig[2, 197:] = 0.25
+        border = 0.05
+        ours = np.asarray(pit_fill(jnp.asarray(orig), border))
+        oracle = self.pit_fill_oracle(orig, border)
+        np.testing.assert_array_equal(ours, oracle)
+
+    def test_hierarchical_odd_sizes_match_oracle(self):
+        for shape in ((65, 130), (127, 129), (96, 67)):
+            orig = rng.random(shape).astype(np.float32)
+            ours = np.asarray(pit_fill(jnp.asarray(orig), 0.5))
+            oracle = self.pit_fill_oracle(orig, 0.5)
+            np.testing.assert_array_equal(ours, oracle)
+
 
 class TestConnectedComponents:
     def test_matches_scipy(self):
