@@ -259,10 +259,20 @@ def config5():
             write_geotiff(v, d / f"{n}.tif", template_path=REF_SCENE / "B08.tif")
         write_geotiff(data["B08"], d / "B04.tif", template_path=REF_SCENE / "B08.tif")
 
-    # warmup: compile every detection executable on a throwaway copy
+    # warmup: compile every detection executable on a throwaway copy, and
+    # the fused poisson program at the fill's exact (1, H, W) shape — the
+    # compile (~30-40 s) would otherwise dominate the fill row
     warm = base.parent / "warm" / "2019-05-22"
     shutil.copytree(base / "2019-05-22", warm)
     detect(CloudParams.from_root(warm), diag, use_cache=False)
+    wshape = data["B08"].shape
+    wmask = np.zeros(wshape, bool)
+    wmask[10:-10, 10:-10] = np.random.default_rng(0).random(
+        (wshape[0] - 20, wshape[1] - 20)
+    ) < 0.2
+    blend_images_poisson(
+        np.ones((1, *wshape)), np.zeros((1, *wshape)), invalid_mask=wmask
+    )
 
     t0 = time.perf_counter()
     results = detect_in_folder(base, diag, use_cache=False)
@@ -303,10 +313,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--out", type=Path, default=RESULTS)
+    ap.add_argument(
+        "--update", action="store_true",
+        help="with --config: replace that row in the existing results file",
+    )
     args = ap.parse_args()
 
-    if args.config:
+    if args.config and not args.update:
         print(json.dumps(CONFIGS[args.config]()))
+        return
+    if args.config and args.update:
+        doc = json.loads(args.out.read_text()) if args.out.exists() else {"round": 2, "rows": []}
+        if args.config == 4:
+            row = config4()
+        else:
+            out = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()), "--config", str(args.config)],
+                capture_output=True, text=True, timeout=3600, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            row = json.loads(line)
+        doc["rows"] = [r for r in doc["rows"] if r.get("config") != args.config] + [row]
+        doc["rows"].sort(key=lambda r: r.get("config", 99))
+        args.out.write_text(json.dumps(doc, indent=2) + "\n")
+        print(f"# updated config {args.config} in {args.out}", file=sys.stderr)
         return
 
     rows = []

@@ -69,8 +69,11 @@ def _residual_from_image(img32, x64, umask, deg):
 
 @jax.jit
 def _composite(img32: jnp.ndarray, x64: jnp.ndarray, umask: jnp.ndarray):
-    umf = umask.astype(img32.dtype)
-    return img32 * (1.0 - umf) + x64.astype(img32.dtype) * umf
+    """Known pixels from the input, solved values over the mask — always in
+    f32 (integer-dtype inputs upload as-is to halve H2D; casting x64 to an
+    integer dtype would truncate the solution)."""
+    umf = umask.astype(jnp.float32)
+    return img32.astype(jnp.float32) * (1.0 - umf) + x64.astype(jnp.float32) * umf
 
 
 @jax.jit
@@ -242,12 +245,16 @@ def laplace_fill(
     host_input = isinstance(image, np.ndarray)
     if host_input:
         # keep the image on the host and upload band chunks as they solve:
-        # a full 13-band tile plus its filled output cannot both sit in HBM
-        image = np.asarray(image, np.float32)
+        # a full 13-band tile plus its filled output cannot both sit in HBM.
+        # u8/u16 rasters (the Sentinel-2 case) upload in their integer dtype
+        # — HALF the H2D bytes — and cast to f32 on device (exact: u16 ⊂ f32)
+        if image.dtype not in (np.uint8, np.uint16, np.int16, np.int32):
+            image = np.asarray(image, np.float32)
         squeeze = image.ndim == 2
         img32 = image[None] if squeeze else image
         if replacement is not None:
-            replacement = np.asarray(replacement, np.float32)
+            if replacement.dtype not in (np.uint8, np.uint16, np.int16, np.int32):
+                replacement = np.asarray(replacement, np.float32)
             rep32 = replacement[None] if squeeze else replacement
     else:
         img32 = jnp.asarray(image, jnp.float32)

@@ -377,3 +377,30 @@ class TestLaplaceFill:
         img, m = self._problem()
         r = laplace_fill(img[0], m, tolerance=1e-7, device_output=False)
         assert r.x.shape == m.shape
+
+    def test_u16_upload_matches_f32(self):
+        """Integer rasters upload in their own dtype (half the H2D bytes)
+        and cast on device — results identical to the f32 upload."""
+        from satellite_approximation_tpu.models.fill import laplace_fill
+
+        rng = np.random.default_rng(4)
+        img16 = (rng.random((2, 96, 80)) * 60000).astype(np.uint16)
+        m = np.zeros((96, 80), bool)
+        m[20:70, 15:60] = True
+        a = laplace_fill(img16, m, tolerance=1e-8, device_output=False)
+        b = laplace_fill(
+            img16.astype(np.float32), m, tolerance=1e-8, device_output=False
+        )
+        assert a.x.dtype == np.float32
+        np.testing.assert_array_equal(a.x, b.x)
+        # integer replacement too (Poisson mode)
+        rep16 = (rng.random((2, 96, 80)) * 60000).astype(np.uint16)
+        ap = laplace_fill(
+            img16, m, replacement=rep16, tolerance=1e-8, device_output=False
+        )
+        bp = laplace_fill(
+            img16.astype(np.float32), m,
+            replacement=rep16.astype(np.float32),
+            tolerance=1e-8, device_output=False,
+        )
+        np.testing.assert_array_equal(ap.x, bp.x)
