@@ -21,6 +21,8 @@ A ground-up, TPU-first rebuild of the capabilities of the
 Public API mirrors the reference's pybind11 surface (reference src/main.cpp:16-59).
 """
 
+import os as _os
+
 import jax as _jax
 
 # f64 on-device: the iterative-refinement outer loops compute true residuals
@@ -28,6 +30,21 @@ import jax as _jax
 # shipping hundreds of MB to the host per pass. All kernels pick their
 # dtypes explicitly, so enabling x64 does not change compute-path precision.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the detection pipeline's big fused
+# programs take minutes to compile on TPU; caching them on disk makes every
+# process after the first start warm (the reference JIT-compiles its OpenCL
+# kernels per process, ComputeEnvironment.cpp/GaussianBlur.cpp init()).
+# Override the location with SATAPPROX_CACHE_DIR; disable with
+# SATAPPROX_CACHE_DIR="".
+_cache_dir = _os.environ.get(
+    "SATAPPROX_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "satellite_approximation_tpu"),
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from .utils.log import LogLevel, set_log_level, log_location
 from .models.laplace import (

@@ -103,13 +103,41 @@ def get_diagonal_distance(
     return geometry.haversine_distance((min_long, min_lat), (max_long, max_lat))
 
 
-def _read_normalized_u8(
-    path: Path, max_value: float, inputs: dict[str, np.ndarray] | None = None
-) -> np.ndarray:
+_NORM_TABLES: dict = {}
+
+
+def _norm_table(n_values: int, max_value: float):
+    """Device-resident lookup table raw -> raw/max_value, computed on the
+    host in numpy f32. TPU f32 division is NOT correctly rounded (measured:
+    1-ulp misrounds, enough to flip e.g. the CLD==20 pixel across the 0.2
+    threshold), so normalization gathers host-exact values instead."""
+    import jax.numpy as jnp
+
+    key = (n_values, float(max_value))
+    t = _NORM_TABLES.get(key)
+    if t is None:
+        t = jnp.asarray(np.arange(n_values, dtype=np.float32) / np.float32(max_value))
+        _NORM_TABLES[key] = t
+    return t
+
+
+def _read_normalized_u8(path: Path, max_value: float, inputs: dict[str, np.ndarray] | None = None):
+    """Decode an integer raster and normalize to [0, 1] f32 ON DEVICE.
+
+    The raw u8/u16 bytes upload as-is (2-4x less H2D than host-normalized
+    f32 — H2D rides a slow tunnel on networked-TPU hosts); normalization is
+    a gather from a host-computed table, bit-identical to the host numpy
+    division for every representable raw value
+    (tests/test_pipeline_e2e.py::TestDeviceNormalize)."""
+    import jax.numpy as jnp
+
     raw = inputs.get(path.stem) if inputs else None
     if raw is None:
         raw = GeoTIFF.open(path).read()
-    return raw.astype(np.float32) / np.float32(max_value)
+    if raw.dtype in (np.uint8, np.uint16):
+        table = _norm_table(int(np.iinfo(raw.dtype).max) + 1, max_value)
+        return jnp.take(table, jnp.asarray(raw).astype(jnp.int32))
+    return jnp.asarray(raw.astype(np.float32) / np.float32(max_value))
 
 
 def _read_angles(
@@ -165,7 +193,9 @@ def detect(
     with timer.stage("read inputs"):
         clp = _read_normalized_u8(params.clp_path, 255, inputs)
         cld = _read_normalized_u8(params.cld_path, 100, inputs)
-        scl = (
+        import jax.numpy as jnp
+
+        scl = jnp.asarray(  # upload u8 once; both kernels reuse it
             inputs[params.scl_path.stem]
             if inputs and params.scl_path.stem in inputs
             else GeoTIFF.open(params.scl_path).read()

@@ -152,3 +152,36 @@ class TestConfig3LaplaceFill:
         # filled values stay within the scene's radiometric range
         assert filled.min() >= 0
         assert filled.max() <= band.max() * 1.01
+
+
+class TestDeviceNormalize:
+    """The raw-upload reader normalizes on device via a host-exact lookup
+    table (device f32 division is NOT correctly rounded on TPU); results
+    must match numpy's host division bit-for-bit for every representable
+    raw value (pipeline._read_normalized_u8)."""
+
+    def _roundtrip(self, raw, maxv, tmp_path):
+        from satellite_approximation_tpu.models.detection import pipeline
+
+        return np.asarray(
+            pipeline._read_normalized_u8(
+                tmp_path / "X.tif", maxv, inputs={"X": raw}
+            )
+        )
+
+    def test_u8_exhaustive(self, tmp_path):
+        for maxv in (255.0, 100.0):
+            raw = np.arange(256, dtype=np.uint8).reshape(16, 16)
+            host = raw.astype(np.float32) / np.float32(maxv)
+            np.testing.assert_array_equal(self._roundtrip(raw, maxv, tmp_path), host)
+
+    def test_u16_exhaustive(self, tmp_path):
+        raw = np.arange(65536, dtype=np.uint16).reshape(256, 256)
+        maxv = float(np.iinfo(np.uint16).max)
+        host = raw.astype(np.float32) / np.float32(maxv)
+        np.testing.assert_array_equal(self._roundtrip(raw, maxv, tmp_path), host)
+
+    def test_float_passthrough(self, tmp_path):
+        raw = np.linspace(0, 250, 64, dtype=np.float32).reshape(8, 8)
+        host = raw.astype(np.float32) / np.float32(255.0)
+        np.testing.assert_array_equal(self._roundtrip(raw, 255.0, tmp_path), host)
