@@ -103,51 +103,44 @@ def get_diagonal_distance(
     return geometry.haversine_distance((min_long, min_lat), (max_long, max_lat))
 
 
-_NORM_TABLES: dict = {}
-
-
-def _norm_table(n_values: int, max_value: float):
-    """Device-resident lookup table raw -> raw/max_value, computed on the
-    host in numpy f32. TPU f32 division is NOT correctly rounded (measured:
-    1-ulp misrounds, enough to flip e.g. the CLD==20 pixel across the 0.2
-    threshold), so normalization gathers host-exact values instead."""
-    import jax.numpy as jnp
-
-    key = (n_values, float(max_value))
-    t = _NORM_TABLES.get(key)
-    if t is None:
-        t = jnp.asarray(np.arange(n_values, dtype=np.float32) / np.float32(max_value))
-        _NORM_TABLES[key] = t
-    return t
-
-
 def _read_normalized_u8(path: Path, max_value: float, inputs: dict[str, np.ndarray] | None = None):
     """Decode an integer raster and normalize to [0, 1] f32 ON DEVICE.
 
     The raw u8/u16 bytes upload as-is (2-4x less H2D than host-normalized
-    f32 — H2D rides a slow tunnel on networked-TPU hosts); normalization is
-    a gather from a host-computed table, bit-identical to the host numpy
-    division for every representable raw value
-    (tests/test_pipeline_e2e.py::TestDeviceNormalize)."""
+    f32 — H2D rides a slow tunnel on networked-TPU hosts); normalization
+    divides in f64 on device and casts to f32. TPU f32 division is NOT
+    correctly rounded (measured: 1-ulp misrounds, enough to flip e.g. the
+    CLD==20 pixel across the 0.2 threshold), but f64-divide-then-cast is
+    bit-identical to the host numpy f32 division for EVERY representable
+    u8/u16 value and all three divisors — verified exhaustively on TPU and
+    in tests/test_pipeline_e2e.py::TestDeviceNormalize. (A host-exact
+    lookup table would also be exact, but XLA lowers the gather to a ~62 GB
+    broadcast-select at full-tile scale.)"""
     import jax.numpy as jnp
 
     raw = inputs.get(path.stem) if inputs else None
     if raw is None:
         raw = GeoTIFF.open(path).read()
     if raw.dtype in (np.uint8, np.uint16):
-        table = _norm_table(int(np.iinfo(raw.dtype).max) + 1, max_value)
-        return jnp.take(table, jnp.asarray(raw).astype(jnp.int32))
+        raw_j = jnp.asarray(raw)
+        return (raw_j.astype(jnp.float64) / jnp.float64(max_value)).astype(jnp.float32)
     return jnp.asarray(raw.astype(np.float32) / np.float32(max_value))
 
 
 def _read_angles(
-    path: Path, what: str, inputs: dict[str, np.ndarray] | None = None
+    path: Path,
+    what: str,
+    inputs: dict[str, np.ndarray] | None = None,
+    dtype=np.float64,
 ) -> np.ndarray:
+    """``dtype``: f64 for the host LS path; the device branch passes f32 —
+    its reduction casts to f32 anyway, and the f64 upcast would cost ~1 GB
+    of host RAM per full-tile raster."""
     raw = inputs.get(path.stem) if inputs else None
     if raw is not None:
-        return raw.astype(np.float64)
+        return raw.astype(dtype)
     try:
-        return GeoTIFF.open(path).read().astype(np.float64)
+        return GeoTIFF.open(path).read().astype(dtype)
     except Exception as e:  # noqa: BLE001
         raise RuntimeError(f"Failed to open {what} file. Provided path: {path}") from e
 
@@ -237,22 +230,37 @@ def detect(
             nir, generated.cloud_mask_no_processing, scl, config.shadow_mask
         )
 
+    big_scene = shape[0] * shape[1] >= 16_000_000
+    angle_dtype = np.float32 if big_scene else np.float64
     with timer.stage("read angles"):
-        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs)
-        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs)
-        view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs)
-        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs)
+        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
+        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs, angle_dtype)
+        view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs, angle_dtype)
+        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs, angle_dtype)
 
     _logger.debug(" --- Solving for Sun and Satellite Position...")
     with timer.stage("sun/view geometry"):
-        sun_grid = geometry.vector_grid(np.radians(sun_zenith), np.radians(sun_azimuth))
-        view_grid = geometry.vector_grid(np.radians(view_zenith), np.radians(view_azimuth))
-        sun_pos = geometry.ls_point_equal_to(
-            sun_grid, shape, diagonal_distance, config.distance_to_sun_km
-        )
-        view_pos = geometry.ls_point_equal_to(
-            view_grid, shape, diagonal_distance, config.distance_to_view_km
-        )
+        if big_scene:
+            # full-tile class: the host path's (H, W, 3) f64 temporaries
+            # would allocate ~10 GB; reduce on device instead (f32
+            # directions — the reference's own precision — f64 sums)
+            sun_pos = geometry.ls_point_equal_to_device(
+                sun_zenith, sun_azimuth, shape, diagonal_distance,
+                config.distance_to_sun_km,
+            )
+            view_pos = geometry.ls_point_equal_to_device(
+                view_zenith, view_azimuth, shape, diagonal_distance,
+                config.distance_to_view_km,
+            )
+        else:
+            sun_grid = geometry.vector_grid(np.radians(sun_zenith), np.radians(sun_azimuth))
+            view_grid = geometry.vector_grid(np.radians(view_zenith), np.radians(view_azimuth))
+            sun_pos = geometry.ls_point_equal_to(
+                sun_grid, shape, diagonal_distance, config.distance_to_sun_km
+            )
+            view_pos = geometry.ls_point_equal_to(
+                view_grid, shape, diagonal_distance, config.distance_to_view_km
+            )
 
     _logger.debug(" --- Object-based Shadow Mask Generation...")
     with timer.stage("cloud-shadow matching"):

@@ -168,13 +168,18 @@ def ls_point_equal_to(
     b3 = -(a - dn * da).sum(axis=(0, 1))
     s = np.einsum("hwi,hwj->ij", dn, dn)  # sum d d^T
     m3 = s - n * np.eye(3)
+    return _solve_z_constrained(m3, b3, z)
 
+
+def _solve_z_constrained(m3: np.ndarray, b3: np.ndarray, z: float) -> np.ndarray:
+    """Solve the z-constrained KKT system: the LS normal equations bordered
+    with the altitude constraint (VectorGridOperations.cpp:90-99; the 0.5
+    Lagrange scaling matches the reference's m4 assembly)."""
     m4 = np.zeros((4, 4))
     m4[:3, :3] = m3
     m4[2, 3] = 0.5
     m4[3, 2] = 1.0
-    b4 = np.concatenate([b3, [z]])
-    sol = np.linalg.solve(m4, b4)
+    sol = np.linalg.solve(m4, np.concatenate([b3, [z]]))
     return sol[:3]
 
 
@@ -218,8 +223,7 @@ def sum_of_square_distance(
 def _ls_point_bounded(grid, shape_hw, diagonal, z_bound, keep_unbounded):
     m3, b3, *_ = _ls_system(grid, shape_hw, diagonal)
     p3 = np.linalg.solve(m3, b3)
-    m4 = np.zeros((4, 4)); m4[:3, :3] = m3; m4[2, 3] = 0.5; m4[3, 2] = 1.0
-    p4 = np.linalg.solve(m4, np.concatenate([b3, [z_bound]]))
+    p4 = np.concatenate([_solve_z_constrained(m3, b3, z_bound), [z_bound]])
     unbounded_ok = np.isfinite(p3).all() and keep_unbounded(p3[2])
     bounded_ok = np.isfinite(p4).all()
     if unbounded_ok and bounded_ok:
@@ -255,3 +259,71 @@ def average_direction(grid: np.ndarray) -> np.ndarray:
     """Normalized mean direction (VectorGridOperations::AverageDirection, :160)."""
     m = np.asarray(grid, dtype=np.float64).mean(axis=(0, 1))
     return m / np.linalg.norm(m)
+
+
+def _ls_reduce_device(zen_deg, azi_deg, h: int, w: int, sx: float, sy: float):
+    """Device reduction for the LS ray system: returns (m3, b3, n) without
+    ever materializing the (H, W, 3) grids on the host. Directions are
+    computed in f32 (the reference's own precision, VectorGridOperations
+    uses f32 Eigen) and accumulated in f64; at full-tile scale (120 Mpix)
+    the host-f64 path would allocate ~10 GB of temporaries."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    zen = jnp.radians(zen_deg.astype(jnp.float32))
+    azi = jnp.radians(azi_deg.astype(jnp.float32))
+    sz = jnp.sin(zen)
+    dx = sz * jnp.sin(azi)
+    dy = -sz * jnp.cos(azi)
+    dz = jnp.cos(zen)
+    nrm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    valid = jnp.isfinite(nrm) & (nrm > 0)
+    nrm = jnp.where(valid, nrm, 1.0)
+    dn = [jnp.where(valid, c / nrm, 0.0).astype(jnp.float64) for c in (dx, dy, dz)]
+
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ax = sx * (cols.astype(jnp.float64) + 0.5) / w
+    ay = sy * ((h - 1 - rows).astype(jnp.float64) + 0.5) / h
+    vf = valid.astype(jnp.float64)
+    ax = ax * vf
+    ay = ay * vf
+
+    da = dn[0] * ax + dn[1] * ay  # a_z = 0
+    a = (ax, ay, jnp.zeros_like(ax))
+    b3 = jnp.stack([-(a[i] - dn[i] * da).sum() for i in range(3)])
+    m3 = jnp.stack(
+        [jnp.stack([(dn[i] * dn[j]).sum() for j in range(3)]) for i in range(3)]
+    )
+    n = vf.sum()
+    return m3, b3, n
+
+
+def ls_point_equal_to_device(
+    zenith_deg, azimuth_deg, shape_hw: tuple[int, int], diagonal: float, z: float
+) -> np.ndarray:
+    """Device-reduction variant of :func:`ls_point_equal_to` taking DEGREE
+    rasters (radians conversion happens on device too). Only the 3x3
+    system + count cross back to the host. Used by the pipeline for
+    full-tile scenes; agrees with the host path to f32-direction accuracy
+    (tests/test_detection.py::TestGeometry)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = shape_hw
+    sx, sy = sides(shape_hw, diagonal)
+    reduce_jit = getattr(ls_point_equal_to_device, "_jit", None)
+    if reduce_jit is None:
+        reduce_jit = functools.partial(jax.jit, static_argnames=("h", "w"))(
+            _ls_reduce_device
+        )
+        ls_point_equal_to_device._jit = reduce_jit
+    m3, b3, n = reduce_jit(
+        jnp.asarray(zenith_deg, jnp.float32),
+        jnp.asarray(azimuth_deg, jnp.float32),
+        h=h, w=w, sx=float(sx), sy=float(sy),
+    )
+    m3 = np.asarray(m3) - float(n) * np.eye(3)
+    return _solve_z_constrained(m3, np.asarray(b3), z)

@@ -45,21 +45,67 @@ def ellipse_kernel(radius: int) -> np.ndarray:
     return elem
 
 
+def _kernel_chords(kernel: np.ndarray) -> list[tuple[int, int, int]] | None:
+    """(dy, j1, j2) per kernel row when every row's set pixels form one
+    contiguous chord (true for OpenCV ellipses); None otherwise."""
+    kh, kw = kernel.shape
+    r_y, r_x = kh // 2, kw // 2
+    chords = []
+    for i in range(kh):
+        cols = np.nonzero(kernel[i])[0]
+        if cols.size == 0:
+            continue
+        j1, j2 = int(cols[0]), int(cols[-1])
+        if not np.all(kernel[i, j1 : j2 + 1]):
+            return None
+        chords.append((i - r_y, j1 - r_x, j2 - r_x))
+    return chords
+
+
 def _count_conv(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """SAME-padded 0/1 convolution counting set pixels under the kernel."""
+    """SAME-padded 0/1 convolution counting set pixels under the kernel.
+
+    Chord-decomposed: one f32 row-cumsum, then two shifted slices per
+    kernel row (the chord sum is a prefix-sum difference) — ~2*kh fused
+    VPU adds instead of a kh*kw-tap convolution. Exact: all partial sums
+    are small integers in f32. XLA's conv lowering OOMs at full-tile
+    scale (10980^2: a ~62 GB broadcast-select buffer) and is slower even
+    where it fits; non-chord kernels (none in practice) fall back to it."""
     squeeze = mask.ndim == 2
     x = mask.astype(jnp.float32)
     if squeeze:
         x = x[None]
-    k = jnp.asarray(kernel, dtype=jnp.float32)[None, None]
-    out = lax.conv_general_dilated(
-        x[:, None],
-        k,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
+
+    chords = _kernel_chords(kernel)
+    if chords is None:
+        k = jnp.asarray(kernel, dtype=jnp.float32)[None, None]
+        out = lax.conv_general_dilated(
+            x[:, None],
+            k,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+        return out[0] if squeeze else out
+
+    kh, kw = kernel.shape
+    r_y, r_x = kh // 2, kw // 2
+    h, w = x.shape[-2], x.shape[-1]
+    # rows pad r_y each side; cols pad r_x+1 left (room for the j1-1 prefix
+    # index of a full-width chord) and r_x right — all zeros (SAME border)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r_y, r_y), (r_x + 1, r_x)])
+    c = jnp.cumsum(xp, axis=-1)  # exact: row sums < 2^24
+    out = jnp.zeros_like(x)
+    for dy, j1, j2 in chords:
+        row = [slice(None)] * x.ndim
+        row[-2] = slice(r_y + dy, r_y + dy + h)
+        hi = [slice(None)] * x.ndim
+        hi[-1] = slice(r_x + 1 + j2, r_x + 1 + j2 + w)
+        lo = [slice(None)] * x.ndim
+        lo[-1] = slice(r_x + j1, r_x + j1 + w)  # index (j1-1)+1 in padded space
+        cr = c[tuple(row)]
+        out = out + (cr[tuple(hi)] - cr[tuple(lo)])
     return out[0] if squeeze else out
 
 

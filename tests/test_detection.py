@@ -212,6 +212,22 @@ class TestGeometry:
         assert v[3] == pytest.approx(0.0)
         assert v[4] == 0.0
 
+    def test_ls_point_device_matches_host(self):
+        """The full-tile device reduction agrees with the host f64 path to
+        f32-direction accuracy (the reference's own precision)."""
+        rng = np.random.default_rng(6)
+        h, w = 90, 130
+        zen = 30.0 + 2.0 * rng.random((h, w))
+        azi = 140.0 + 3.0 * rng.random((h, w))
+        diag = 25.0
+        for z in (1.5e9, 785.0):
+            host = geometry.ls_point_equal_to(
+                geometry.vector_grid(np.radians(zen), np.radians(azi)), (h, w), diag, z
+            )
+            dev = geometry.ls_point_equal_to_device(zen, azi, (h, w), diag, z)
+            assert dev[2] == pytest.approx(z)
+            np.testing.assert_allclose(dev, host, rtol=2e-5)
+
 
 class TestNoCloudScene:
     def test_detect_stages_handle_empty_clouds(self):

@@ -155,10 +155,11 @@ class TestConfig3LaplaceFill:
 
 
 class TestDeviceNormalize:
-    """The raw-upload reader normalizes on device via a host-exact lookup
-    table (device f32 division is NOT correctly rounded on TPU); results
-    must match numpy's host division bit-for-bit for every representable
-    raw value (pipeline._read_normalized_u8)."""
+    """The raw-upload reader normalizes on device via f64-divide-then-cast
+    (device f32 division is NOT correctly rounded on TPU; the f64 quotient
+    rounded to f32 is); results must match numpy's host f32 division
+    bit-for-bit for every representable raw value
+    (pipeline._read_normalized_u8)."""
 
     def _roundtrip(self, raw, maxv, tmp_path):
         from satellite_approximation_tpu.models.detection import pipeline
