@@ -71,10 +71,12 @@ def _neighbor_degree_traced(h: int, w: int) -> jnp.ndarray:
 
 
 def _anypool(m: jnp.ndarray) -> jnp.ndarray:
+    # strided slices, not reshape-to-(h/2,2,w/2,2): the 4-D reshape
+    # materializes a badly-laid-out temporary on TPU at full-tile scale
     h, w = m.shape
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     mp = jnp.pad(m, ((0, ph - h), (0, pw - w)))
-    return mp.reshape(ph // 2, 2, pw // 2, 2).any(axis=(1, 3))
+    return (mp[0::2, 0::2] | mp[0::2, 1::2]) | (mp[1::2, 0::2] | mp[1::2, 1::2])
 
 
 @jax.jit

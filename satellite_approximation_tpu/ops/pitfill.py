@@ -65,10 +65,15 @@ def _fixpoint(original, border_value, f0):
 
 
 def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 max-pool via strided slices — the reshape-to-(h/2,2,w/2,2) form
+    materializes a badly-laid-out 4-D temporary on TPU (OOMs at 10980^2)."""
     h, w = x.shape
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     xp = jnp.pad(x, ((0, ph - h), (0, pw - w)), constant_values=-jnp.inf)
-    return xp.reshape(ph // 2, 2, pw // 2, 2).max(axis=(1, 3))
+    return jnp.maximum(
+        jnp.maximum(xp[0::2, 0::2], xp[0::2, 1::2]),
+        jnp.maximum(xp[1::2, 0::2], xp[1::2, 1::2]),
+    )
 
 
 @jax.jit
