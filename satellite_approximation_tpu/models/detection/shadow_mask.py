@@ -61,13 +61,36 @@ def _potential_shadow_kernel(nir, cloud_mask, scl, config: ShadowMaskConfig):
 
 def _dynamic_percentile(values, mask, percent):
     """masked_percentile with a traced percent (same semantics as
-    Functions.cpp:29-35)."""
-    flat = jnp.where(mask.ravel(), values.ravel(), jnp.inf).astype(jnp.float32)
-    ordered = jnp.sort(flat)
-    count = jnp.sum(mask.astype(jnp.int32))
+    Functions.cpp:29-35).
+
+    The k-th order statistic is selected by BISECTION OVER THE f32 BIT
+    SPACE instead of a sort: for non-negative floats the IEEE bit pattern
+    is order-isomorphic to the value, so 32 masked count-reductions find
+    the smallest attained value v with count(values <= v) >= k — exactly
+    the sorted selection, for any f32 data. A monolithic jnp.sort of a
+    full-tile raster (120M elements) crashes the TPU worker and is
+    O(n log n) work besides; this is 32 fused VPU passes and O(1) memory."""
+    from jax import lax
+
+    flat = values.ravel().astype(jnp.float32)
+    valid = mask.ravel()
+    count = jnp.sum(valid.astype(jnp.int32))
     x = (percent.astype(jnp.float32) * count.astype(jnp.float32)).astype(jnp.int32)
-    idx = jnp.clip(x - 1, 0, flat.size - 1)
-    value = ordered[idx]
+    k = jnp.maximum(x, 1)
+
+    bits = lax.bitcast_convert_type(flat, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(((bits <= mid) & valid).astype(jnp.int32))
+        take_left = cnt >= k
+        return jnp.where(take_left, lo, mid + 1), jnp.where(take_left, mid, hi)
+
+    lo, hi = lax.fori_loop(
+        0, 32, body, (jnp.int32(0), jnp.int32(0x7F800000))
+    )
+    value = lax.bitcast_convert_type(lo, jnp.float32)
     value = jnp.where(x < 1, jnp.float32(0.0), value)
     value = jnp.where(x > count, jnp.float32(1.0), value)
     return value

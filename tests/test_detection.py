@@ -305,3 +305,43 @@ class TestMatchingBackendEquivalence:
             assert sa.area == sb.area
             assert sa.anchor == sb.anchor
         np.testing.assert_equal(res_n.trimmed_mean_height, res_d.trimmed_mean_height)
+
+
+class TestDynamicPercentile:
+    def test_bisection_matches_sorted_selection(self):
+        """The f32 bit-space bisection must select exactly the value the
+        sort-based formulation picks, for many ranks and masks."""
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.detection.shadow_mask import (
+            _dynamic_percentile,
+        )
+
+        rng = np.random.default_rng(21)
+        vals = rng.random((137, 91)).astype(np.float32)
+        vals[vals > 0.97] = 0.25  # duplicates
+        mask = rng.random((137, 91)) < 0.6
+        count = int(mask.sum())
+        flat_sorted = np.sort(vals[mask])
+        for percent in (0.001, 0.2, 0.5, 0.7, 0.99, 1.0):
+            x = np.int32(np.float32(percent) * np.float32(count))
+            expect = (
+                np.float32(0.0) if x < 1
+                else np.float32(1.0) if x > count
+                else flat_sorted[x - 1]
+            )
+            got = float(
+                _dynamic_percentile(
+                    jnp.asarray(vals), jnp.asarray(mask), jnp.float32(percent)
+                )
+            )
+            assert got == expect, (percent, got, expect)
+
+    def test_empty_mask(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.detection.shadow_mask import (
+            _dynamic_percentile,
+        )
+
+        vals = np.ones((8, 8), np.float32)
+        got = float(_dynamic_percentile(jnp.asarray(vals), jnp.zeros((8, 8), bool), jnp.float32(0.5)))
+        assert got == 0.0
