@@ -29,8 +29,8 @@ class PotentialShadowMaskResult:
     pitfill_result: np.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _potential_shadow_kernel(nir, cloud_mask, scl, config: ShadowMaskConfig):
+def _psm_pre(nir, cloud_mask, scl, config: ShadowMaskConfig):
+    """(outside_value, scl_shadow_dark) — everything before the pit fill."""
     scl_shadow_dark = scl_mask(scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS))
     scl_shadow_dark_water = scl_mask(
         scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS, SCL.WATER)
@@ -50,13 +50,28 @@ def _potential_shadow_kernel(nir, cloud_mask, scl, config: ShadowMaskConfig):
         config.percentile_hi,
     )  # linearStep((.07,.4)->(.2,.7)) (PotentialShadowMask.cpp:32-34)
     outside_value = _dynamic_percentile(nir, selector, percent)
+    return outside_value, scl_shadow_dark
 
-    pitfilled = pit_fill(nir, outside_value)
+
+def _psm_post(nir, pitfilled, scl_shadow_dark, cloud_mask, config: ShadowMaskConfig):
+    """(mask, difference) — everything after the pit fill."""
     difference = pitfilled - nir
     prelim = difference >= config.nir_difference_threshold
     blurred = gaussian_blur((prelim | scl_shadow_dark).astype(jnp.float32), config.blur_sigma)
     mask = (blurred >= config.blur_threshold) & (~cloud_mask)
+    return mask, difference
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _potential_shadow_kernel(nir, cloud_mask, scl, config: ShadowMaskConfig):
+    outside_value, scl_shadow_dark = _psm_pre(nir, cloud_mask, scl, config)
+    pitfilled = pit_fill(nir, outside_value)
+    mask, difference = _psm_post(nir, pitfilled, scl_shadow_dark, cloud_mask, config)
     return mask, difference, pitfilled
+
+
+_psm_pre_jit = functools.partial(jax.jit, static_argnames=("config",))(_psm_pre)
+_psm_post_jit = functools.partial(jax.jit, static_argnames=("config",))(_psm_post)
 
 
 def _dynamic_percentile(values, mask, percent):
@@ -102,13 +117,24 @@ def generate_potential_shadow_mask(
     scl: np.ndarray,
     config: ShadowMaskConfig = ShadowMaskConfig(),
 ) -> PotentialShadowMaskResult:
-    """Full candidate-shadow stage (PotentialShadowMask.cpp:21-51)."""
-    mask, diff, pitfilled = _potential_shadow_kernel(
-        jnp.asarray(nir, jnp.float32),
-        jnp.asarray(cloud_mask, bool),
-        jnp.asarray(scl),
-        config,
-    )
+    """Full candidate-shadow stage (PotentialShadowMask.cpp:21-51).
+
+    Small scenes run as ONE fused program; full-tile-class rasters stage
+    pre / pit-fill / post as separate programs with the pit fill
+    host-orchestrated in sweep-budgeted chunks — the tunneled-TPU runtime
+    kills any single program running ~60 s, which an unbounded fixpoint
+    over 120 Mpix exceeds. Identical numerics either way."""
+    from ...ops.pitfill import pit_fill_host
+
+    nir_j = jnp.asarray(nir, jnp.float32)
+    cloud_j = jnp.asarray(cloud_mask, bool)
+    scl_j = jnp.asarray(scl)
+    if nir_j.size >= 16_000_000:
+        outside_value, scl_shadow_dark = _psm_pre_jit(nir_j, cloud_j, scl_j, config)
+        pitfilled = pit_fill_host(nir_j, outside_value)
+        mask, diff = _psm_post_jit(nir_j, pitfilled, scl_shadow_dark, cloud_j, config)
+    else:
+        mask, diff, pitfilled = _potential_shadow_kernel(nir_j, cloud_j, scl_j, config)
     return PotentialShadowMaskResult(
         mask=np.asarray(mask),
         difference_of_pitfill_nir=np.asarray(diff),

@@ -30,6 +30,8 @@ with the plain iteration (tests/test_ops.py::TestPitFill oracle).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -62,6 +64,29 @@ def _fixpoint(original, border_value, f0):
 
     f, _ = lax.while_loop(cond, body, (f0, jnp.asarray(True)))
     return f
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def _fixpoint_budget(original, border_value, f0, max_sweeps: int):
+    """Like :func:`_fixpoint` but bounded to ``max_sweeps`` sweeps per
+    program; returns (f, still_changing). Large rasters iterate this from
+    the host: the tunneled-TPU runtime kills any single program running
+    ~60 s (measured), so one unbounded while_loop over a 120 Mpix grid is
+    not executable there."""
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_sweeps)
+
+    def body(state):
+        f, _, it = state
+        nf = jnp.maximum(original, _min8(f, border_value))
+        return nf, jnp.any(nf != f), it + 1
+
+    f, changed, _ = lax.while_loop(
+        cond, body, (f0, jnp.asarray(True), jnp.int32(0))
+    )
+    return f, changed
 
 
 def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
@@ -97,6 +122,37 @@ def pit_fill(original: jnp.ndarray, border_value: jnp.ndarray | float) -> jnp.nd
     for lvl in range(len(pyramid) - 1, -1, -1):
         orig_l = pyramid[lvl]
         f = _fixpoint(orig_l, border_value, jnp.maximum(orig_l, f))
+        if lvl:
+            fh, fw = pyramid[lvl - 1].shape
+            f = jnp.repeat(jnp.repeat(f, 2, axis=0), 2, axis=1)[:fh, :fw]
+    return f
+
+
+def pit_fill_host(original, border_value, sweep_budget_elems: float = 2e9):
+    """Host-orchestrated hierarchical pit fill for large rasters.
+
+    Same levels and numerics as :func:`pit_fill`, but each level's fixpoint
+    runs as a sequence of sweep-budgeted programs (budget scaled so one
+    program stays well under the runtime's ~60 s single-program limit),
+    with a scalar convergence flag fetched between calls. Result is the
+    same from-above fixpoint."""
+    original = jnp.asarray(original, jnp.float32)
+    border_value = jnp.asarray(border_value, dtype=jnp.float32)
+
+    pool = jax.jit(_maxpool2)
+    pyramid = [original]
+    while min(pyramid[-1].shape) > _COARSEST:
+        pyramid.append(pool(pyramid[-1]))
+
+    f = jnp.ones_like(pyramid[-1])
+    for lvl in range(len(pyramid) - 1, -1, -1):
+        orig_l = pyramid[lvl]
+        sweeps = max(8, int(sweep_budget_elems // max(orig_l.size, 1)))
+        f = jnp.maximum(orig_l, f)
+        while True:
+            f, changed = _fixpoint_budget(orig_l, border_value, f, max_sweeps=sweeps)
+            if not bool(changed):
+                break
         if lvl:
             fh, fw = pyramid[lvl - 1].shape
             f = jnp.repeat(jnp.repeat(f, 2, axis=0), 2, axis=1)[:fh, :fw]

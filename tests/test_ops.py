@@ -269,3 +269,22 @@ class TestMasks:
         assert float(cover_percentage(m)) == pytest.approx(0.75)
         x = np.array([[255, 0]], dtype=np.uint8)
         np.testing.assert_allclose(np.asarray(normalize(jnp.asarray(x), 255)), [[1.0, 0.0]])
+
+
+class TestPitFillHost:
+    def test_host_orchestrated_matches_jit(self):
+        """pit_fill_host (sweep-budgeted programs, host convergence loop)
+        must produce the identical fixpoint."""
+        from satellite_approximation_tpu.ops.pitfill import pit_fill_host
+
+        h, w = 150, 220
+        orig = (0.4 + 0.5 * rng.random((h, w))).astype(np.float32)
+        orig[30:120, 20:200] = 0.9
+        orig[35:115, 25:195] = 0.15
+        orig[40, 25:198] = 0.25
+        orig[2:41, 197] = 0.25
+        orig[2, 197:] = 0.25
+        a = np.asarray(pit_fill(jnp.asarray(orig), 0.05))
+        # tiny budget forces many host continuation rounds
+        b = np.asarray(pit_fill_host(orig, 0.05, sweep_budget_elems=h * w * 4))
+        np.testing.assert_array_equal(b, a)
