@@ -65,7 +65,13 @@ def synthesize(n: int, seed: int = 7):
     shadow = np.zeros_like(cloud)
     src = cloud[max(-dy, 0) : n - max(dy, 0), max(-dx, 0) : n - max(dx, 0)]
     shadow[max(dy, 0) : n - max(-dy, 0), max(dx, 0) : n - max(-dx, 0)] = src
-    nir = (6000 + 1500 * rng.standard_normal((n, n))).clip(500, 10000)
+    # spatially correlated NIR like real 10 m imagery (white noise makes
+    # every pixel a pit — adversarial and unrepresentative for pit fill)
+    from satellite_approximation_tpu.ops.blur import gaussian_blur_host
+
+    g = gaussian_blur_host(rng.standard_normal((n, n)).astype(np.float32), 3.0)
+    g = g / max(float(g.std()), 1e-6)
+    nir = (6000 + 1500 * g).clip(500, 10000)
     nir[shadow] *= 0.35
     nir = nir.astype(np.uint16)
 

@@ -73,12 +73,18 @@ class RefinementConfig:
         1.0 / 31.0,
     )
     surface_resolution: int = 256  # :206
-    # "host": numpy/scipy alpha+beta (reference-exact, the default — on
-    # tunneled-TPU hosts the device gathers + D2H cost more than they save);
-    # "jax": the fused on-device backend (models/detection/refinement_jax),
-    # equality-tested against host in tests/test_refinement_jax.py — pick
-    # for TPU-resident deployments where rasters already live in HBM.
-    backend: str = "host"
+    # "host": numpy/scipy for every stage (reference-exact);
+    # "jax": the fused on-device backend (models/detection/refinement_jax)
+    #   for every stage, equality-tested against host in
+    #   tests/test_refinement_jax.py;
+    # "auto" (default): host for ordinary scenes (on tunneled-TPU hosts the
+    #   device gathers + transfers cost more than they save at small sizes),
+    #   but for full-tile-class scenes (>= 16 Mpix) alpha, the histogram
+    #   accumulation, and the final sampling run on device with the rasters
+    #   kept HBM-resident — the host path would move ~2 GB over the wire.
+    #   Beta stays host either way at that scale (the per-shadow EDT windows
+    #   are cheap on host and the bucketed device program isn't at 4k).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

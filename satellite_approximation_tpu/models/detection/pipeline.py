@@ -186,14 +186,31 @@ def detect(
     with timer.stage("read inputs"):
         clp = _read_normalized_u8(params.clp_path, 255, inputs)
         cld = _read_normalized_u8(params.cld_path, 100, inputs)
-        import jax.numpy as jnp
-
-        scl = jnp.asarray(  # upload u8 once; both kernels reuse it
+        scl_host = (
             inputs[params.scl_path.stem]
             if inputs and params.scl_path.stem in inputs
             else GeoTIFF.open(params.scl_path).read()
         )
-        nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max, inputs)
+        import jax.numpy as jnp
+
+        scl = jnp.asarray(scl_host)  # upload u8 once; both kernels reuse it
+        big_scene = clp.size >= 16_000_000
+        if big_scene:
+            # full-tile class: the shadow stage runs host-side (native
+            # priority-flood — raster transfers over a tunneled link cost
+            # more than the compute), so keep NIR on the host; host f32
+            # division of u16 values equals the device normalization
+            # bit-for-bit (TestDeviceNormalize)
+            raw = (
+                inputs.get(params.nir_path.stem)
+                if inputs
+                else None
+            )
+            if raw is None:
+                raw = GeoTIFF.open(params.nir_path).read()
+            nir = raw.astype(np.float32) / np.float32(np.iinfo(np.uint16).max)
+        else:
+            nir = _read_normalized_u8(params.nir_path, np.iinfo(np.uint16).max, inputs)
     shape = clp.shape
 
     _logger.debug(" --- Cloud Detection...")
@@ -227,10 +244,12 @@ def detect(
     _logger.debug(" --- Potential Shadow Mask Generation...")
     with timer.stage("potential shadow mask"):
         psm = sm.generate_potential_shadow_mask(
-            nir, generated.cloud_mask_no_processing, scl, config.shadow_mask
+            nir,
+            generated.cloud_mask_no_processing,
+            scl_host if big_scene else scl,
+            config.shadow_mask,
         )
 
-    big_scene = shape[0] * shape[1] >= 16_000_000
     angle_dtype = np.float32 if big_scene else np.float64
     with timer.stage("read angles"):
         sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
@@ -241,14 +260,16 @@ def detect(
     _logger.debug(" --- Solving for Sun and Satellite Position...")
     with timer.stage("sun/view geometry"):
         if big_scene:
-            # full-tile class: the host path's (H, W, 3) f64 temporaries
-            # would allocate ~10 GB; reduce on device instead (f32
-            # directions — the reference's own precision — f64 sums)
-            sun_pos = geometry.ls_point_equal_to_device(
+            # full-tile class: the plain host path's (H, W, 3) f64
+            # temporaries would allocate ~10 GB, and the device reduction
+            # spends ~45 s uploading four full-tile angle rasters over the
+            # tunnel — chunked host reduction (f32 directions, f64 sums)
+            # does it in seconds with neither
+            sun_pos = geometry.ls_point_equal_to_chunked(
                 sun_zenith, sun_azimuth, shape, diagonal_distance,
                 config.distance_to_sun_km,
             )
-            view_pos = geometry.ls_point_equal_to_device(
+            view_pos = geometry.ls_point_equal_to_chunked(
                 view_zenith, view_azimuth, shape, diagonal_distance,
                 config.distance_to_view_km,
             )
@@ -277,17 +298,22 @@ def detect(
         )
 
     _logger.debug(" --- Generating Probability Function...")
-    use_jax_refinement = config.refinement.backend == "jax"
+    # "jax": every stage on device. "auto" + full-tile-class scene: device
+    # alpha / histograms / sampling with the rasters HBM-resident (the host
+    # path would move ~2 GB over the wire); beta stays host (per-shadow EDT
+    # windows are cheap on host, the bucketed device program isn't at 4k).
+    backend = config.refinement.backend
+    use_jax_refinement = backend == "jax"
+    dev_refine = use_jax_refinement
+    if dev_refine:
+        from . import refinement_jax
     with timer.stage("alpha map"):
-        if use_jax_refinement:
-            from . import refinement_jax
-
-            alpha = np.asarray(
-                refinement_jax.alpha_map_jax(
-                    psm.difference_of_pitfill_nir,
-                    config.refinement.alpha_a,
-                    config.refinement.alpha_b,
-                )
+        if dev_refine:
+            # stays a device array: its only consumers are device programs
+            alpha = refinement_jax.alpha_map_jax(
+                psm.difference_of_pitfill_nir,
+                config.refinement.alpha_a,
+                config.refinement.alpha_b,
             )
         else:
             alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
@@ -308,8 +334,12 @@ def detect(
                 diagonal_distance,
                 config.refinement,
             )
+        if dev_refine:
+            import jax.numpy as jnp
+
+            beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
     with timer.stage("probability surface"):
-        if use_jax_refinement:
+        if dev_refine:
             surface = refinement_jax.probability_map_jax(
                 match.shadow_mask, alpha, beta, config.refinement
             )
@@ -322,7 +352,7 @@ def detect(
     with timer.stage("final mask"):
         mask_fn = (
             refinement_jax.improved_shadow_mask_jax
-            if use_jax_refinement
+            if dev_refine
             else refinement.improved_shadow_mask
         )
         final = mask_fn(

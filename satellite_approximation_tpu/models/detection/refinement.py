@@ -394,7 +394,22 @@ def probability_map(
     beta: np.ndarray,
     config: RefinementConfig = RefinementConfig(),
 ) -> UniformProbabilitySurface:
-    """Composite multiresolution surface (ProbabilityRefinement.cpp:188-224)."""
+    """Composite multiresolution surface (ProbabilityRefinement.cpp:188-224).
+
+    Full-tile-class rasters accumulate ALL resolutions in one native C++
+    pass (5 numpy digitize+bincount rounds over 120 Mpix allocate ~5 GB of
+    temporaries and took ~60 s; the fused pass is ~2 s and bit-identical —
+    verified in tests/test_native.py)."""
+    alpha = np.asarray(alpha)
+    if alpha.size >= 16_000_000:
+        from ...native import prob_histograms as native_hists
+
+        hists = native_hists(
+            alpha, beta, np.asarray(shadow_mask, bool), config.histogram_divisions
+        )
+        if hists is not None:
+            elements = [element_from_histogram(c, s) for c, s in hists]
+            return composite_surface(elements, config)
     elements = [
         _probability_map_element(alpha, beta, shadow_mask.astype(np.float32), d)
         for d in config.histogram_divisions
@@ -434,7 +449,19 @@ def improved_shadow_mask(
     threshold: float,
 ) -> np.ndarray:
     """final = (P(alpha,beta) >= threshold OR object-shadow) AND NOT cloud
-    (ProbabilityRefinement.cpp:226-241)."""
+    (ProbabilityRefinement.cpp:226-241). Full-tile-class rasters sample via
+    the native OpenMP pass (bit-identical to the numpy gather — compiled
+    -ffp-contract=off, same op order; tests/test_native.py)."""
+    alpha = np.asarray(alpha)
+    if alpha.size >= 16_000_000:
+        from ...native import final_mask_sample
+
+        out = final_mask_sample(
+            alpha, beta, surface._extended(), object_shadow_mask, cloud_mask,
+            float(threshold),
+        )
+        if out is not None:
+            return out
     prob = surface.sample(alpha, beta)
     ret = prob >= np.float32(threshold)
     return (ret | object_shadow_mask) & ~cloud_mask

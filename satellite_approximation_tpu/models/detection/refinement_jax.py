@@ -307,9 +307,9 @@ def probability_map_jax(
     from . import refinement
 
     hists = _histograms_jax(
-        jnp.asarray(np.asarray(alpha, np.float32)),
-        jnp.asarray(np.asarray(beta, np.float32)),
-        jnp.asarray(np.asarray(shadow_mask, np.float32)),
+        jnp.asarray(alpha).astype(jnp.float32),
+        jnp.asarray(beta).astype(jnp.float32),
+        jnp.asarray(shadow_mask).astype(jnp.float32),
         tuple(config.histogram_divisions),
     )
     elements = [
@@ -367,10 +367,10 @@ def improved_shadow_mask_jax(
     ext = surface._extended()
     out = _sample_final_jax(
         jnp.asarray(ext),
-        jnp.asarray(np.asarray(alpha, np.float32)),
-        jnp.asarray(np.asarray(beta, np.float32)),
-        jnp.asarray(np.asarray(object_shadow_mask, bool)),
-        jnp.asarray(np.asarray(cloud_mask, bool)),
+        jnp.asarray(alpha).astype(jnp.float32),
+        jnp.asarray(beta).astype(jnp.float32),
+        jnp.asarray(object_shadow_mask).astype(bool),
+        jnp.asarray(cloud_mask).astype(bool),
         jnp.float32(threshold),
     )
     return np.asarray(out)

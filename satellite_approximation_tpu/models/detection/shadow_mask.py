@@ -111,6 +111,62 @@ def _dynamic_percentile(values, mask, percent):
     return value
 
 
+def _scl_in_host(scl: np.ndarray, values) -> np.ndarray:
+    out = np.zeros(scl.shape, bool)
+    for v in values:
+        out |= scl == int(v)
+    return out
+
+
+def _generate_host_native(nir, cloud_mask, scl, config) -> "PotentialShadowMaskResult | None":
+    """Pure-host variant of the stage, pit fill via the native
+    priority-flood (exact O(n log n)); None when the native lib is absent.
+    Same formulas/summation order as the device kernel — used for full-tile
+    rasters on hosts whose accelerator link makes raster transfers the
+    bottleneck (~30-60 s per crossing here, measured)."""
+    from ...native import pit_fill_flood
+    from ...ops.blur import gaussian_blur_host
+
+    nir = np.asarray(nir, np.float32)
+    cloud_mask = np.asarray(cloud_mask, bool)
+    scl = np.asarray(scl)
+    scl_shadow_dark = _scl_in_host(scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS))
+    selector = cloud_mask | _scl_in_host(
+        scl, (SCL.CLOUD_SHADOWS, SCL.DARK_AREA_PIXELS, SCL.WATER)
+    )
+    cloud_cover = np.float32(cloud_mask.sum()) / np.float32(cloud_mask.size)
+    percent = float(
+        np.clip(
+            config.percentile_lo
+            + (cloud_cover - config.cloud_cover_lo)
+            * (config.percentile_hi - config.percentile_lo)
+            / (config.cloud_cover_hi - config.cloud_cover_lo),
+            config.percentile_lo,
+            config.percentile_hi,
+        )
+    )
+    count = int(selector.sum())
+    x = int(np.float32(percent) * np.float32(count))
+    if x < 1:
+        outside = np.float32(0.0)
+    elif x > count:
+        outside = np.float32(1.0)
+    else:
+        vals = nir[selector]
+        outside = np.partition(vals, x - 1)[x - 1]  # exact k-th smallest
+
+    pitfilled = pit_fill_flood(nir, float(outside))
+    if pitfilled is None:
+        return None
+    difference = pitfilled - nir
+    prelim = difference >= np.float32(config.nir_difference_threshold)
+    blurred = gaussian_blur_host((prelim | scl_shadow_dark).astype(np.float32), config.blur_sigma)
+    mask = (blurred >= np.float32(config.blur_threshold)) & (~cloud_mask)
+    return PotentialShadowMaskResult(
+        mask=mask, difference_of_pitfill_nir=difference, pitfill_result=pitfilled
+    )
+
+
 def generate_potential_shadow_mask(
     nir: np.ndarray,
     cloud_mask: np.ndarray,
@@ -119,12 +175,19 @@ def generate_potential_shadow_mask(
 ) -> PotentialShadowMaskResult:
     """Full candidate-shadow stage (PotentialShadowMask.cpp:21-51).
 
-    Small scenes run as ONE fused program; full-tile-class rasters stage
-    pre / pit-fill / post as separate programs with the pit fill
-    host-orchestrated in sweep-budgeted chunks — the tunneled-TPU runtime
-    kills any single program running ~60 s, which an unbounded fixpoint
-    over 120 Mpix exceeds. Identical numerics either way."""
+    Small scenes run as ONE fused program. Full-tile-class rasters: when
+    ``nir`` is a HOST array and the native library is available, the whole
+    stage runs on the host (priority-flood pit fill — raster transfers to
+    a tunneled accelerator cost more than the compute); otherwise it stages
+    pre / pit-fill / post as separate device programs with the pit fill
+    host-orchestrated in sweep-budgeted chunks (the tunneled-TPU runtime
+    kills any single program running ~60 s). Identical semantics all ways."""
     from ...ops.pitfill import pit_fill_host
+
+    if isinstance(nir, np.ndarray) and nir.size >= 16_000_000:
+        host = _generate_host_native(nir, cloud_mask, scl, config)
+        if host is not None:
+            return host
 
     nir_j = jnp.asarray(nir, jnp.float32)
     cloud_j = jnp.asarray(cloud_mask, bool)
@@ -133,8 +196,16 @@ def generate_potential_shadow_mask(
         outside_value, scl_shadow_dark = _psm_pre_jit(nir_j, cloud_j, scl_j, config)
         pitfilled = pit_fill_host(nir_j, outside_value)
         mask, diff = _psm_post_jit(nir_j, pitfilled, scl_shadow_dark, cloud_j, config)
-    else:
-        mask, diff, pitfilled = _potential_shadow_kernel(nir_j, cloud_j, scl_j, config)
+        # only the mask is needed on the host (partition/matching); the f32
+        # rasters stay device-resident — fetching them is ~1 GB of D2H on a
+        # tunneled host, and the device refinement path consumes them in HBM
+        # (np.asarray triggers the fetch lazily if a host consumer needs one)
+        return PotentialShadowMaskResult(
+            mask=np.asarray(mask),
+            difference_of_pitfill_nir=diff,
+            pitfill_result=pitfilled,
+        )
+    mask, diff, pitfilled = _potential_shadow_kernel(nir_j, cloud_j, scl_j, config)
     return PotentialShadowMaskResult(
         mask=np.asarray(mask),
         difference_of_pitfill_nir=np.asarray(diff),

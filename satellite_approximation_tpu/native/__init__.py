@@ -26,7 +26,7 @@ def _build() -> bool:
         subprocess.run(
             # -ffp-contract=off: cloud_sweep's f32 affine must round exactly
             # like the XLA/numpy (no-FMA) path so pixel truncation matches
-            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp", "-shared",
              "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)],
             check=True,
             capture_output=True,
@@ -86,6 +86,17 @@ def get_lib():
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float,
             ctypes.c_int32, ctypes.c_int32, _u8p, _i32p, _i32p,
+        ]
+        lib.pit_fill_flood.argtypes = [
+            _f32p, _f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ]
+        lib.prob_histograms.argtypes = [
+            _f32p, _f32p, _u8p, ctypes.c_int64, _i32p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.final_mask_sample.argtypes = [
+            _f32p, _f32p, _f32p, ctypes.c_int32, _u8p, _u8p,
+            ctypes.c_float, ctypes.c_int64, _u8p,
         ]
         _lib = lib
     except OSError:
@@ -242,3 +253,90 @@ def cloud_detail(
         int(counts[0]), int(counts[1]), hit.astype(bool),
         int(bounds[0]), int(bounds[1]), int(bounds[2]), int(bounds[3]),
     )
+
+
+def pit_fill_flood(original: np.ndarray, border_value: float) -> np.ndarray | None:
+    """Priority-flood pit fill (exact reconstruction-by-erosion fixpoint,
+    O(n log n) host-side). original: (H, W) f32. Returns the filled surface,
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    o = np.ascontiguousarray(original, dtype=np.float32)
+    h, w = o.shape
+    out = np.empty_like(o)
+    lib.pit_fill_flood(
+        o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(h),
+        ctypes.c_int32(w),
+        ctypes.c_float(border_value),
+    )
+    return out
+
+
+def prob_histograms(
+    alpha: np.ndarray, beta: np.ndarray, shadow: np.ndarray, divisions
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """All probability-surface histogram resolutions in one native pass.
+    Returns [(counts (d,d) i64, sums (d,d) f64), ...] per division, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(alpha, dtype=np.float32).ravel()
+    b = np.ascontiguousarray(beta, dtype=np.float32).ravel()
+    s = np.ascontiguousarray(shadow, dtype=np.uint8).ravel()
+    divs = np.asarray(divisions, dtype=np.int32)
+    total = int((divs.astype(np.int64) ** 2).sum())
+    counts = np.zeros(total, dtype=np.int64)
+    sums = np.zeros(total, dtype=np.float64)
+    lib.prob_histograms(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(a.size),
+        divs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(divs)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sums.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    out = []
+    off = 0
+    for d in divs:
+        d = int(d)
+        out.append(
+            (counts[off : off + d * d].reshape(d, d), sums[off : off + d * d].reshape(d, d))
+        )
+        off += d * d
+    return out
+
+
+def final_mask_sample(
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    ext: np.ndarray,
+    object_mask: np.ndarray,
+    cloud_mask: np.ndarray,
+    threshold: float,
+) -> np.ndarray | None:
+    """Final-mask surface sampling (bit-identical to the numpy path),
+    OpenMP-parallel. Returns the bool mask or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(alpha, np.float32)
+    b = np.ascontiguousarray(beta, np.float32)
+    e = np.ascontiguousarray(ext, np.float32)
+    o = np.ascontiguousarray(object_mask, np.uint8)
+    c = np.ascontiguousarray(cloud_mask, np.uint8)
+    out = np.empty(a.shape, np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.final_mask_sample(
+        a.ctypes.data_as(f32p), b.ctypes.data_as(f32p),
+        e.ctypes.data_as(f32p), ctypes.c_int32(e.shape[0]),
+        o.ctypes.data_as(u8p), c.ctypes.data_as(u8p),
+        ctypes.c_float(threshold), ctypes.c_int64(a.size),
+        out.ctypes.data_as(u8p),
+    )
+    return out.astype(bool)

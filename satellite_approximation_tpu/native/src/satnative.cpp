@@ -21,7 +21,9 @@
 //
 // Exposed with a plain C ABI and loaded via ctypes (no pybind11 dependency).
 
+#include <cmath>
 #include <cstdint>
+#include <queue>
 #include <cstring>
 #include <utility>
 #include <vector>
@@ -172,6 +174,7 @@ void cloud_sweep(
     const float* a2 /* nh*4: a00,a01,a10,a11 */, const float* delta /* nh*2 */,
     int32_t min_support, float* sims_out)
 {
+#pragma omp parallel for schedule(dynamic, 8)
     for (int32_t h = 0; h < nh; h++) {
         const float a00 = a2[h * 4 + 0], a01 = a2[h * 4 + 1];
         const float a10 = a2[h * 4 + 2], a11 = a2[h * 4 + 3];
@@ -249,6 +252,146 @@ void cloud_detail(
     bounds[1] = by0;
     bounds[2] = bx1;
     bounds[3] = by1;
+}
+
+
+
+// Priority-flood pit fill (morphological reconstruction by erosion):
+// W(p) = max(orig(p), min over escape paths pi to the outside of
+// max(orig along pi, border)) — the same from-above fixpoint as the
+// reference's iterative kernel (PitFillAlgorithm.cpp:28-91), computed in
+// O(n log n) with Barnes-style priority flooding + a FIFO for cells at the
+// current water level. Pure max/min selection of existing f32 values — no
+// arithmetic — so the result is bit-exact with the Jacobi fixpoint.
+void pit_fill_flood(const float* orig, float* out, int32_t h, int32_t w, float border)
+{
+    const int64_t n = int64_t(h) * w;
+    std::vector<uint8_t> visited(size_t(n), 0);
+    using Item = std::pair<float, uint32_t>;
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+    std::queue<Item> fifo;
+
+    auto push = [&](int64_t i, float lvl) {
+        if (visited[size_t(i)])
+            return;
+        visited[size_t(i)] = 1;
+        float o = orig[i];
+        if (o <= lvl) {
+            fifo.push({lvl, uint32_t(i)});  // at the water level: plain queue
+        } else {
+            pq.push({o, uint32_t(i)});
+        }
+    };
+
+    for (int32_t c = 0; c < w; ++c) {
+        push(c, border);
+        push(int64_t(h - 1) * w + c, border);
+    }
+    for (int32_t r = 0; r < h; ++r) {
+        push(int64_t(r) * w, border);
+        push(int64_t(r) * w + (w - 1), border);
+    }
+
+    while (!pq.empty() || !fifo.empty()) {
+        float lvl;
+        uint32_t i;
+        if (!fifo.empty() && (pq.empty() || fifo.front().first <= pq.top().first)) {
+            lvl = fifo.front().first;
+            i = fifo.front().second;
+            fifo.pop();
+        } else {
+            lvl = pq.top().first;
+            i = pq.top().second;
+            pq.pop();
+        }
+        out[i] = lvl;
+        int32_t r = int32_t(i / uint32_t(w));
+        int32_t c = int32_t(i % uint32_t(w));
+        for (int dr = -1; dr <= 1; ++dr) {
+            for (int dc = -1; dc <= 1; ++dc) {
+                if (!dr && !dc)
+                    continue;
+                int32_t nr = r + dr;
+                int32_t nc = c + dc;
+                if (nr < 0 || nr >= h || nc < 0 || nc >= w)
+                    continue;
+                push(int64_t(nr) * w + nc, lvl);
+            }
+        }
+    }
+}
+
+// All histogram resolutions of the probability surface in ONE pass over the
+// rasters (ProbabilityRefinement.cpp:137-151): for each pixel, bin
+// (alpha, beta) at every d in divisions and accumulate count + shadow sum.
+// counts/sums are laid out per-division consecutively (d*d cells each).
+void prob_histograms(const float* alpha, const float* beta, const uint8_t* shadow,
+                     int64_t n, const int32_t* divisions, int32_t n_div,
+                     int64_t* counts, double* sums)
+{
+    std::vector<int64_t> offs(size_t(n_div), 0);
+    int64_t off = 0;
+    for (int32_t k = 0; k < n_div; ++k) {
+        offs[size_t(k)] = off;
+        off += int64_t(divisions[k]) * divisions[k];
+    }
+    for (int64_t p = 0; p < n; ++p) {
+        float a = alpha[p];
+        float b = beta[p];
+        float s = shadow[p] ? 1.f : 0.f;
+        for (int32_t k = 0; k < n_div; ++k) {
+            int32_t d = divisions[k];
+            // match numpy: i = clip(floor(a*d), 0, d-1) with f32 multiply
+            float fa = a * float(d);
+            float fb = b * float(d);
+            int32_t i = int32_t(std::floor(fa));
+            int32_t j = int32_t(std::floor(fb));
+            i = i < 0 ? 0 : (i >= d ? d - 1 : i);
+            j = j < 0 ? 0 : (j >= d ? d - 1 : j);
+            int64_t cell = offs[size_t(k)] + int64_t(j) * d + i;
+            counts[cell] += 1;
+            sums[cell] += double(s);
+        }
+    }
+}
+
+
+// Final-mask sampling (ProbabilityRefinement.cpp:226-241 with operator()
+// :264-283): bilinear over the extended surface table at (alpha, beta),
+// thresholded, OR object-shadow, AND NOT cloud. ``ext`` is the
+// (n+2)x(n+2) table of surface.at(i,j) for i,j in [-1,n]; alpha/beta are
+// probabilities in [0,1] so every touched cell is inside it. f32 ops in
+// the numpy order (compiled -ffp-contract=off) — bit-identical to the
+// host numpy sampling.
+void final_mask_sample(const float* alpha, const float* beta,
+                       const float* ext, int32_t next /* n+2 */,
+                       const uint8_t* object_mask, const uint8_t* cloud_mask,
+                       float threshold, int64_t n, uint8_t* out)
+{
+    const int32_t dim = next - 2;
+    const float fdim = float(dim);
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < n; ++p) {
+        const float cellx = alpha[p] * fdim;
+        const float celly = beta[p] * fdim;
+        const float rx = cellx >= 0.f ? std::floor(cellx + 0.5f) : std::ceil(cellx - 0.5f);
+        const float ry = celly >= 0.f ? std::floor(celly + 0.5f) : std::ceil(celly - 0.5f);
+        const int32_t x_max = int32_t(rx);
+        const int32_t y_max = int32_t(ry);
+        const int32_t x_min = x_max - 1;
+        const int32_t y_min = y_max - 1;
+        const float p0 = ext[int64_t(y_min + 1) * next + (x_min + 1)];
+        const float p1 = ext[int64_t(y_min + 1) * next + (x_max + 1)];
+        const float p2 = ext[int64_t(y_max + 1) * next + (x_min + 1)];
+        const float p3 = ext[int64_t(y_max + 1) * next + (x_max + 1)];
+        const float u = cellx - (float(x_min) + 0.5f);
+        const float v = celly - (float(y_min) + 0.5f);
+        const float bottom = (1.f - u) * p0 + u * p1;
+        const float top = (1.f - u) * p2 + u * p3;
+        const float prob = (1.f - v) * bottom + v * top;
+        const uint8_t ret = (prob >= threshold) || object_mask[p];
+        out[p] = ret && !cloud_mask[p];
+    }
 }
 
 } // extern "C"

@@ -83,3 +83,36 @@ def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
     x = _blur_axis(x, kernel, axis=x.ndim - 1)
     x = _blur_axis(x, kernel, axis=x.ndim - 2)
     return x
+
+
+def gaussian_blur_host(image: np.ndarray, sigma: float) -> np.ndarray:
+    """Numpy twin of :func:`gaussian_blur` (same strip kernel, same
+    asymmetric reflect boundary, same summation order) for host-resident
+    pipelines — full-tile-class rasters stay off the wire on hosts with
+    slow accelerator links."""
+    kernel = strip_kernel(float(sigma))
+    radius = len(kernel) - 1
+    x = np.asarray(image, np.float32)
+    if radius == 0:
+        return x * np.float32(kernel[0])
+
+    def blur_axis(a, axis):
+        n = a.shape[axis]
+        pad_lead = [(0, 0)] * a.ndim
+        pad_lead[axis] = (radius, 0)
+        pad_trail = [(0, 0)] * a.ndim
+        pad_trail[axis] = (0, radius)
+        p = np.pad(np.pad(a, pad_lead, mode="reflect"), pad_trail, mode="symmetric")
+
+        def take(offset):
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(radius + offset, radius + offset + n)
+            return p[tuple(idx)]
+
+        out = np.float32(kernel[0]) * take(0)
+        for i in range(1, radius + 1):
+            out = out + np.float32(kernel[i]) * (take(i) + take(-i))
+        return out
+
+    x = blur_axis(x, x.ndim - 1)
+    return blur_axis(x, x.ndim - 2)

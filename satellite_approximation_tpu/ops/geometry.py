@@ -327,3 +327,50 @@ def ls_point_equal_to_device(
     )
     m3 = np.asarray(m3) - float(n) * np.eye(3)
     return _solve_z_constrained(m3, np.asarray(b3), z)
+
+
+def ls_point_equal_to_chunked(
+    zenith_deg, azimuth_deg, shape_hw: tuple[int, int], diagonal: float, z: float,
+    rows_per_chunk: int = 1024,
+) -> np.ndarray:
+    """Host chunked-reduction variant of :func:`ls_point_equal_to_device`:
+    f32 directions (the reference's own precision), f64 accumulation, row
+    blocks — no (H, W, 3) materialization and no accelerator transfers.
+    The right path when the accelerator link is slow (uploading four
+    full-tile angle rasters costs ~45 s on a tunneled host; this runs in
+    seconds of numpy)."""
+    h, w = shape_hw
+    sx, sy = sides(shape_hw, diagonal)
+    m3 = np.zeros((3, 3))
+    b3 = np.zeros(3)
+    n = 0.0
+    ax_base = sx * (np.arange(w, dtype=np.float64) + 0.5) / w
+    for r0 in range(0, h, rows_per_chunk):
+        r1 = min(r0 + rows_per_chunk, h)
+        zen = np.radians(np.asarray(zenith_deg[r0:r1], np.float32))
+        azi = np.radians(np.asarray(azimuth_deg[r0:r1], np.float32))
+        sz = np.sin(zen)
+        dx = sz * np.sin(azi)
+        dy = -sz * np.cos(azi)
+        dz = np.cos(zen)
+        nrm = np.sqrt(dx * dx + dy * dy + dz * dz)
+        valid = np.isfinite(nrm) & (nrm > 0)
+        nrm = np.where(valid, nrm, np.float32(1.0))
+        dn = [
+            np.where(valid, c / nrm, np.float32(0.0)).astype(np.float64)
+            for c in (dx, dy, dz)
+        ]
+        rows = np.arange(r0, r1, dtype=np.float64)
+        ay = (sy * ((h - 1 - rows) + 0.5) / h)[:, None] * valid
+        ax = ax_base[None, :] * valid
+        da = dn[0] * ax + dn[1] * ay
+        a = (ax, ay, 0.0)
+        for i in range(3):
+            ai = a[i] if i < 2 else 0.0
+            b3[i] -= float((ai - dn[i] * da).sum())
+            for j in range(i, 3):
+                m3[i, j] += float((dn[i] * dn[j]).sum())
+        n += float(valid.sum())
+    m3 = m3 + np.triu(m3, 1).T  # symmetrize the accumulated upper triangle
+    m3 -= n * np.eye(3)
+    return _solve_z_constrained(m3, b3, z)

@@ -345,3 +345,18 @@ class TestDynamicPercentile:
         vals = np.ones((8, 8), np.float32)
         got = float(_dynamic_percentile(jnp.asarray(vals), jnp.zeros((8, 8), bool), jnp.float32(0.5)))
         assert got == 0.0
+
+    def test_ls_point_chunked_matches_device(self):
+        rng = np.random.default_rng(8)
+        h, w = 97, 141
+        zen = 30.0 + 2.0 * rng.random((h, w))
+        azi = 140.0 + 3.0 * rng.random((h, w))
+        for z in (1.5e9, 785.0):
+            dev = geometry.ls_point_equal_to_device(zen, azi, (h, w), 25.0, z)
+            chk = geometry.ls_point_equal_to_chunked(
+                zen, azi, (h, w), 25.0, z, rows_per_chunk=17
+            )
+            # agreement is at f32-direction level (numpy vs XLA trig differ
+            # by ulps; accumulation orders differ) — same contract as
+            # device-vs-host
+            np.testing.assert_allclose(chk, dev, rtol=2e-5)

@@ -107,3 +107,104 @@ class TestBorderMask:
         rng = np.random.default_rng(2)
         mask = rng.random((20, 25)) > 0.4
         np.testing.assert_array_equal(native.border_mask(mask), _border_mask(mask))
+
+
+class TestPitFillFlood:
+    def test_matches_jacobi_fixpoint(self):
+        from satellite_approximation_tpu import native
+        from satellite_approximation_tpu.ops.pitfill import pit_fill
+        import jax.numpy as jnp
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(17)
+        for shape, border in (((60, 83), 0.3), ((120, 95), 0.6)):
+            orig = rng.random(shape).astype(np.float32)
+            out = native.pit_fill_flood(orig, border)
+            expect = np.asarray(pit_fill(jnp.asarray(orig), border))
+            np.testing.assert_array_equal(out, expect)
+
+    def test_drain_channel(self):
+        from satellite_approximation_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        orig = np.full((9, 9), 0.5, np.float32)
+        orig[4, 4] = 0.1
+        orig[4, 5:] = 0.3
+        out = native.pit_fill_flood(orig, 0.2)
+        assert out[4, 4] == pytest.approx(0.3)
+
+
+class TestProbHistogramsNative:
+    def test_matches_bincount(self):
+        from satellite_approximation_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(23)
+        alpha = rng.random((70, 91)).astype(np.float32)
+        beta = rng.random((70, 91)).astype(np.float32)
+        shadow = rng.random((70, 91)) < 0.25
+        divs = (8, 16, 32, 64, 128)
+        hs = native.prob_histograms(alpha, beta, shadow, divs)
+        for (c, s), d in zip(hs, divs):
+            i = np.clip(np.floor(alpha.ravel() * d).astype(np.int64), 0, d - 1)
+            j = np.clip(np.floor(beta.ravel() * d).astype(np.int64), 0, d - 1)
+            cell = i + d * j
+            np.testing.assert_array_equal(c, np.bincount(cell, minlength=d * d).reshape(d, d))
+            np.testing.assert_array_equal(
+                s,
+                np.bincount(
+                    cell, weights=shadow.ravel().astype(np.float64), minlength=d * d
+                ).reshape(d, d),
+            )
+
+
+class TestHostNativeShadowStage:
+    def test_matches_device_kernel(self, monkeypatch):
+        """The full host-native shadow stage (priority flood + host blur)
+        must reproduce the fused device kernel's outputs on the same data."""
+        from satellite_approximation_tpu import native
+        from satellite_approximation_tpu.models.detection import shadow_mask as sm
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(29)
+        h, w = 120, 160
+        nir = (rng.random((h, w)) * 0.4).astype(np.float32)
+        cloud = rng.random((h, w)) < 0.15
+        scl = rng.integers(0, 12, (h, w)).astype(np.uint8)
+        dev = sm.generate_potential_shadow_mask(nir, cloud, scl)
+        host = sm._generate_host_native(nir, cloud, scl, sm.ShadowMaskConfig())
+        np.testing.assert_array_equal(host.pitfill_result, dev.pitfill_result)
+        np.testing.assert_allclose(
+            host.difference_of_pitfill_nir, dev.difference_of_pitfill_nir, atol=1e-7
+        )
+        np.testing.assert_array_equal(host.mask, dev.mask)
+
+
+class TestFinalMaskNative:
+    def test_matches_numpy_sampling(self):
+        from satellite_approximation_tpu import native
+        from satellite_approximation_tpu.models.detection import refinement
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(31)
+        h, w = 140, 95
+        alpha = rng.random((h, w)).astype(np.float32)
+        beta = rng.random((h, w)).astype(np.float32)
+        surface = refinement.UniformProbabilitySurface(
+            rng.random((256, 256)).astype(np.float32)
+        )
+        surface.alpha_min = 0.0
+        surface.beta_min = 0.0
+        obj = rng.random((h, w)) < 0.1
+        cloud = rng.random((h, w)) < 0.1
+        expect = (surface.sample(alpha, beta) >= np.float32(0.15)) | obj
+        expect &= ~cloud
+        got = native.final_mask_sample(
+            alpha, beta, surface._extended(), obj, cloud, 0.15
+        )
+        np.testing.assert_array_equal(got, expect)

@@ -288,3 +288,25 @@ class TestPitFillHost:
         # tiny budget forces many host continuation rounds
         b = np.asarray(pit_fill_host(orig, 0.05, sweep_budget_elems=h * w * 4))
         np.testing.assert_array_equal(b, a)
+
+    def test_directional_cycles_preserve_exactness(self, monkeypatch):
+        """With the size gate lowered, the directional-scan path must still
+        land on the oracle fixpoint exactly."""
+        from satellite_approximation_tpu.ops import pitfill as pf
+
+        monkeypatch.setattr(pf, "_DIRECTIONAL_MIN_SIZE", 1)
+        h, w = 150, 220
+        orig = (0.4 + 0.5 * rng.random((h, w))).astype(np.float32)
+        orig[30:120, 20:200] = 0.9
+        orig[35:115, 25:195] = 0.15
+        orig[40, 25:198] = 0.25
+        orig[2:41, 197] = 0.25
+        orig[2, 197:] = 0.25
+        a = np.asarray(pit_fill(jnp.asarray(orig), 0.05))
+        b = np.asarray(pf.pit_fill_host(orig, 0.05))
+        np.testing.assert_array_equal(b, a)
+        # pure-noise terrain too (the adversarial case for the pyramid)
+        noise = rng.random((130, 170)).astype(np.float32)
+        a = np.asarray(pit_fill(jnp.asarray(noise), 0.3))
+        b = np.asarray(pf.pit_fill_host(noise, 0.3))
+        np.testing.assert_array_equal(b, a)

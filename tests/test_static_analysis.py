@@ -165,6 +165,7 @@ class TestNativeSanitizers:
         res = subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
              "-Wall", "-Wextra", "-Werror", "-Wshadow", "-Wconversion",
+             "-fopenmp",
              str(NATIVE_SRC), "-o", str(tmp_path / "strict.so")],
             capture_output=True, text=True, timeout=180,
         )
