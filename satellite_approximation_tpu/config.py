@@ -11,6 +11,11 @@ from __future__ import annotations
 
 import dataclasses
 
+# full-tile-class gate shared by the pipeline stages: scenes at/above this
+# pixel count route through the big-raster policies (host-native shadow
+# stage, chunked LS, native histograms/sampling)
+BIG_SCENE_PIXELS = 16_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class CloudMaskConfig:
@@ -73,17 +78,18 @@ class RefinementConfig:
         1.0 / 31.0,
     )
     surface_resolution: int = 256  # :206
-    # "host": numpy/scipy for every stage (reference-exact);
+    # "host": numpy/scipy for every stage (reference-exact). Full-tile-class
+    #   rasters transparently use the bit-exact native C++ accelerators
+    #   (priority-flood pit fill, one-pass histograms, OpenMP sampling)
+    #   when the library is available.
     # "jax": the fused on-device backend (models/detection/refinement_jax)
     #   for every stage, equality-tested against host in
-    #   tests/test_refinement_jax.py;
-    # "auto" (default): host for ordinary scenes (on tunneled-TPU hosts the
-    #   device gathers + transfers cost more than they save at small sizes),
-    #   but for full-tile-class scenes (>= 16 Mpix) alpha, the histogram
-    #   accumulation, and the final sampling run on device with the rasters
-    #   kept HBM-resident — the host path would move ~2 GB over the wire.
-    #   Beta stays host either way at that scale (the per-shadow EDT windows
-    #   are cheap on host and the bucketed device program isn't at 4k).
+    #   tests/test_refinement_jax.py — the pick for TPU-resident (PCIe)
+    #   deployments where rasters already live in HBM.
+    # "auto" (default): same as "host", EXCEPT when the shadow stage left
+    #   its rasters device-resident (full-tile scene without the native
+    #   library): then alpha / histogram accumulation / final sampling run
+    #   on device so the ~2 GB of rasters never cross a slow link.
     backend: str = "auto"
 
 

@@ -194,18 +194,24 @@ def detect(
         import jax.numpy as jnp
 
         scl = jnp.asarray(scl_host)  # upload u8 once; both kernels reuse it
-        big_scene = clp.size >= 16_000_000
-        if big_scene:
-            # full-tile class: the shadow stage runs host-side (native
-            # priority-flood — raster transfers over a tunneled link cost
-            # more than the compute), so keep NIR on the host; host f32
-            # division of u16 values equals the device normalization
-            # bit-for-bit (TestDeviceNormalize)
-            raw = (
-                inputs.get(params.nir_path.stem)
-                if inputs
-                else None
-            )
+        from ...config import BIG_SCENE_PIXELS
+        from ... import native
+
+        big_scene = clp.size >= BIG_SCENE_PIXELS
+        # full-tile shadow stage placement: host-side native priority-flood
+        # (raster transfers over a tunneled link cost more than the compute)
+        # unless backend="jax" keeps everything device-resident or the
+        # native library is unavailable (then the device staged path runs
+        # and raw u16 upload halves the bytes)
+        host_shadow = (
+            big_scene
+            and config.refinement.backend != "jax"
+            and native.available()
+        )
+        if host_shadow:
+            # host f32 division of u16 values equals the device
+            # normalization bit-for-bit (TestDeviceNormalize)
+            raw = inputs.get(params.nir_path.stem) if inputs else None
             if raw is None:
                 raw = GeoTIFF.open(params.nir_path).read()
             nir = raw.astype(np.float32) / np.float32(np.iinfo(np.uint16).max)
@@ -246,7 +252,7 @@ def detect(
         psm = sm.generate_potential_shadow_mask(
             nir,
             generated.cloud_mask_no_processing,
-            scl_host if big_scene else scl,
+            scl_host if host_shadow else scl,
             config.shadow_mask,
         )
 
@@ -298,13 +304,18 @@ def detect(
         )
 
     _logger.debug(" --- Generating Probability Function...")
-    # "jax": every stage on device. "auto" + full-tile-class scene: device
-    # alpha / histograms / sampling with the rasters HBM-resident (the host
-    # path would move ~2 GB over the wire); beta stays host (per-shadow EDT
-    # windows are cheap on host, the bucketed device program isn't at 4k).
+    # "jax": every stage on device. "auto": follow the data — when the
+    # shadow stage left its rasters device-resident (full-tile scene
+    # without the native library), run alpha / histograms / sampling on
+    # device too so ~2 GB never crosses the link; beta stays host either
+    # way (per-shadow EDT windows are cheap on host, the bucketed device
+    # program isn't at 4k windows).
     backend = config.refinement.backend
     use_jax_refinement = backend == "jax"
-    dev_refine = use_jax_refinement
+    dev_refine = use_jax_refinement or (
+        backend == "auto"
+        and not isinstance(psm.difference_of_pitfill_nir, np.ndarray)
+    )
     if dev_refine:
         from . import refinement_jax
     with timer.stage("alpha map"):

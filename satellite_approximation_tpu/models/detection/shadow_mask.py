@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...config import ShadowMaskConfig
+from ...config import ShadowMaskConfig, BIG_SCENE_PIXELS
 from ...ops.blur import gaussian_blur
 from ...ops.masks import scl_mask, SCL, cover_percentage
 from ...ops.pitfill import pit_fill
@@ -121,7 +121,11 @@ def _scl_in_host(scl: np.ndarray, values) -> np.ndarray:
 def _generate_host_native(nir, cloud_mask, scl, config) -> "PotentialShadowMaskResult | None":
     """Pure-host variant of the stage, pit fill via the native
     priority-flood (exact O(n log n)); None when the native lib is absent.
-    Same formulas/summation order as the device kernel — used for full-tile
+    Same formulas/summation order as the device kernel, with one caveat:
+    past 2^24 pixels the device's f32 cover-percentage accumulation is
+    inexact while the host's integer count is exact, so the percentile
+    rank can differ by a few positions between the two paths at full-tile
+    scale (the host value is the more accurate one). Used for full-tile
     rasters on hosts whose accelerator link makes raster transfers the
     bottleneck (~30-60 s per crossing here, measured)."""
     from ...native import pit_fill_flood
@@ -137,12 +141,12 @@ def _generate_host_native(nir, cloud_mask, scl, config) -> "PotentialShadowMaskR
     cloud_cover = np.float32(cloud_mask.sum()) / np.float32(cloud_mask.size)
     percent = float(
         np.clip(
-            config.percentile_lo
-            + (cloud_cover - config.cloud_cover_lo)
-            * (config.percentile_hi - config.percentile_lo)
-            / (config.cloud_cover_hi - config.cloud_cover_lo),
-            config.percentile_lo,
-            config.percentile_hi,
+            np.float32(config.percentile_lo)
+            + (cloud_cover - np.float32(config.cloud_cover_lo))
+            * np.float32(config.percentile_hi - config.percentile_lo)
+            / np.float32(config.cloud_cover_hi - config.cloud_cover_lo),
+            np.float32(config.percentile_lo),
+            np.float32(config.percentile_hi),
         )
     )
     count = int(selector.sum())
@@ -184,7 +188,7 @@ def generate_potential_shadow_mask(
     kills any single program running ~60 s). Identical semantics all ways."""
     from ...ops.pitfill import pit_fill_host
 
-    if isinstance(nir, np.ndarray) and nir.size >= 16_000_000:
+    if isinstance(nir, np.ndarray) and nir.size >= BIG_SCENE_PIXELS:
         host = _generate_host_native(nir, cloud_mask, scl, config)
         if host is not None:
             return host
@@ -192,7 +196,7 @@ def generate_potential_shadow_mask(
     nir_j = jnp.asarray(nir, jnp.float32)
     cloud_j = jnp.asarray(cloud_mask, bool)
     scl_j = jnp.asarray(scl)
-    if nir_j.size >= 16_000_000:
+    if nir_j.size >= BIG_SCENE_PIXELS:
         outside_value, scl_shadow_dark = _psm_pre_jit(nir_j, cloud_j, scl_j, config)
         pitfilled = pit_fill_host(nir_j, outside_value)
         mask, diff = _psm_post_jit(nir_j, pitfilled, scl_shadow_dark, cloud_j, config)

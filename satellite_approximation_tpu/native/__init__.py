@@ -99,7 +99,10 @@ def get_lib():
             ctypes.c_float, ctypes.c_int64, _u8p,
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale pre-upgrade .so that could not be rebuilt
+        # (no toolchain) lacks newer symbols — fall back to Python rather
+        # than crash (ctypes raises AttributeError for missing symbols)
         _lib = None
     return _lib
 
@@ -264,6 +267,8 @@ def pit_fill_flood(original: np.ndarray, border_value: float) -> np.ndarray | No
         return None
     o = np.ascontiguousarray(original, dtype=np.float32)
     h, w = o.shape
+    if h * w >= 2**32:  # the C kernel indexes cells as uint32
+        return None
     out = np.empty_like(o)
     lib.pit_fill_flood(
         o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

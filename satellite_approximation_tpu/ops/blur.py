@@ -39,23 +39,26 @@ def strip_kernel(sigma: float) -> np.ndarray:
     return k
 
 
-def _pad_reflect_asym(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
+def _pad_reflect_asym(xp, x, radius: int, axis: int):
     """Pad: leading side mirrors about pixel 0 excluding the edge (``-v``),
-    trailing side symmetric including the edge (``2*end-v-1``)."""
+    trailing side symmetric including the edge (``2*end-v-1``).
+    ``xp`` is the array namespace (numpy or jax.numpy) — the host and
+    device blurs share this code so their boundary handling and summation
+    order can never drift apart."""
     pad_lead = [(0, 0)] * x.ndim
     pad_lead[axis] = (radius, 0)
     pad_trail = [(0, 0)] * x.ndim
     pad_trail[axis] = (0, radius)
-    x = jnp.pad(x, pad_lead, mode="reflect")
-    return jnp.pad(x, pad_trail, mode="symmetric")
+    x = xp.pad(x, pad_lead, mode="reflect")
+    return xp.pad(x, pad_trail, mode="symmetric")
 
 
-def _blur_axis(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+def _blur_axis(x, kernel: np.ndarray, axis: int, xp=jnp):
     radius = len(kernel) - 1
     if radius == 0:
         return x * float(kernel[0])
     n = x.shape[axis]
-    padded = _pad_reflect_asym(x, radius, axis)
+    padded = _pad_reflect_asym(xp, x, radius, axis)
 
     def take(offset):
         idx = [slice(None)] * x.ndim
@@ -86,33 +89,12 @@ def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 
 def gaussian_blur_host(image: np.ndarray, sigma: float) -> np.ndarray:
-    """Numpy twin of :func:`gaussian_blur` (same strip kernel, same
-    asymmetric reflect boundary, same summation order) for host-resident
-    pipelines — full-tile-class rasters stay off the wire on hosts with
-    slow accelerator links."""
+    """Numpy twin of :func:`gaussian_blur` — literally the SAME
+    ``_blur_axis`` code run with the numpy namespace, so kernel, boundary
+    and summation order cannot drift from the device blur. For
+    host-resident pipelines: full-tile-class rasters stay off the wire on
+    hosts with slow accelerator links."""
     kernel = strip_kernel(float(sigma))
-    radius = len(kernel) - 1
     x = np.asarray(image, np.float32)
-    if radius == 0:
-        return x * np.float32(kernel[0])
-
-    def blur_axis(a, axis):
-        n = a.shape[axis]
-        pad_lead = [(0, 0)] * a.ndim
-        pad_lead[axis] = (radius, 0)
-        pad_trail = [(0, 0)] * a.ndim
-        pad_trail[axis] = (0, radius)
-        p = np.pad(np.pad(a, pad_lead, mode="reflect"), pad_trail, mode="symmetric")
-
-        def take(offset):
-            idx = [slice(None)] * a.ndim
-            idx[axis] = slice(radius + offset, radius + offset + n)
-            return p[tuple(idx)]
-
-        out = np.float32(kernel[0]) * take(0)
-        for i in range(1, radius + 1):
-            out = out + np.float32(kernel[i]) * (take(i) + take(-i))
-        return out
-
-    x = blur_axis(x, x.ndim - 1)
-    return blur_axis(x, x.ndim - 2)
+    x = _blur_axis(x, kernel, x.ndim - 1, xp=np)
+    return _blur_axis(x, kernel, x.ndim - 2, xp=np)

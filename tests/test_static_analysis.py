@@ -205,6 +205,41 @@ lib.hole_fill(
     holes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     ctypes.c_int32(256))
 assert np.isfinite(surf).all()
+
+f32p = ctypes.POINTER(ctypes.c_float)
+u8p = ctypes.POINTER(ctypes.c_uint8)
+orig = rng.random((h, w)).astype(np.float32)
+filled = np.empty_like(orig)
+lib.pit_fill_flood(orig.ctypes.data_as(f32p), filled.ctypes.data_as(f32p),
+                   ctypes.c_int32(h), ctypes.c_int32(w), ctypes.c_float(0.3))
+assert (filled >= orig).all()
+
+alpha = rng.random((h, w)).astype(np.float32)
+beta = rng.random((h, w)).astype(np.float32)
+shadow = (rng.random((h, w)) > 0.7).astype(np.uint8)
+divs = np.asarray([8, 16, 32, 64, 128], np.int32)
+total = int((divs.astype(np.int64) ** 2).sum())
+counts = np.zeros(total, np.int64)
+sums = np.zeros(total, np.float64)
+lib.prob_histograms(
+    alpha.ctypes.data_as(f32p), beta.ctypes.data_as(f32p),
+    shadow.ctypes.data_as(u8p), ctypes.c_int64(alpha.size),
+    divs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ctypes.c_int32(5),
+    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    sums.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+assert counts.sum() == alpha.size * 5
+
+ext = rng.random((258, 258)).astype(np.float32)
+obj = (rng.random((h, w)) > 0.9).astype(np.uint8)
+cloud = (rng.random((h, w)) > 0.9).astype(np.uint8)
+out = np.empty((h, w), np.uint8)
+lib.final_mask_sample(
+    alpha.ctypes.data_as(f32p), beta.ctypes.data_as(f32p),
+    ext.ctypes.data_as(f32p), ctypes.c_int32(258),
+    obj.ctypes.data_as(u8p), cloud.ctypes.data_as(u8p),
+    ctypes.c_float(0.15), ctypes.c_int64(alpha.size),
+    out.ctypes.data_as(u8p))
+assert set(np.unique(out)) <= {{0, 1}}
 print("SANITIZED-OK")
 """
         env = {"PATH": "/usr/bin:/bin", "ASAN_OPTIONS": "detect_leaks=0",
