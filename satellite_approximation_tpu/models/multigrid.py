@@ -151,22 +151,27 @@ def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
     return levels
 
 
+def _use_pallas(u, sweeps, extra_ring=0):
+    from ..ops.pallas_kernels import pallas_available, HALO_R as HALO
+
+    return (
+        pallas_available()
+        and u.ndim == 3
+        and u.shape[-2] * u.shape[-1] >= 512 * 512
+        and sweeps + extra_ring <= HALO
+    )
+
+
 def _smooth(u, b, um, deg, sweeps):
     """Damped Jacobi restricted to unknowns. On TPU, large levels dispatch
     to the fused Pallas strip kernel (all sweeps in VMEM, ~2.5x faster than
     the XLA per-sweep path); small levels and other backends use XLA."""
-    from ..ops.pallas_kernels import fused_jacobi_tpu, pallas_available, HALO_R as HALO
+    from ..ops.pallas_kernels import fused_jacobi_tpu
 
-    if (
-        pallas_available()
-        and u.ndim == 3
-        and u.shape[-2] * u.shape[-1] >= 512 * 512
-        and sweeps <= HALO
-    ):
-        out = fused_jacobi_tpu(u, b, um, deg, sweeps=sweeps, omega=_OMEGA)
+    if _use_pallas(u, sweeps):
         # the Pallas path computes updates everywhere (mask folds into the
         # update term); match the XLA path exactly
-        return out
+        return fused_jacobi_tpu(u, b, um, deg, sweeps=sweeps, omega=_OMEGA)
 
     inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
 
@@ -175,6 +180,21 @@ def _smooth(u, b, um, deg, sweeps):
         return u + _OMEGA * (b - au) * inv_deg * um
 
     return lax.fori_loop(0, sweeps, body, u)
+
+
+def _smooth_residual(u, b, um, deg, sweeps):
+    """(smoothed u, post-smooth residual (b - A u) * um) — fused into ONE
+    Pallas pass where available (the residual reuses the VMEM window, no
+    second full-grid A-apply)."""
+    from ..ops.pallas_kernels import fused_jacobi_tpu
+
+    if _use_pallas(u, sweeps, extra_ring=1):
+        return fused_jacobi_tpu(
+            u, b, um, deg, sweeps=sweeps, omega=_OMEGA, emit_residual=True
+        )
+    u = _smooth(u, b, um, deg, sweeps)
+    r = (b - masked_laplacian(u, um, deg)) * um.astype(u.dtype)
+    return u, r
 
 
 def _prolong_axis(e, axis):
@@ -252,8 +272,7 @@ def _v_cycle(levels_j, b, u, lvl):
         u, _, _, _ = lax.fori_loop(0, coarse_iters, body, (u, r, r, rs))
         return u
 
-    u = _smooth(u, b, um, deg, _PRE_SMOOTH)
-    r = (b - masked_laplacian(u, um, deg)) * um
+    u, r = _smooth_residual(u, b, um, deg, _PRE_SMOOTH)
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
     e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1)

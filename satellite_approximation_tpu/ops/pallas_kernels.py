@@ -41,16 +41,27 @@ CTILE = 2048  # interior columns per tile (multiple of 128)
 
 
 def _kernel_factory(
-    sweeps: int, omega: float, winc: int, n_strips: int, n_ctiles: int, channels: int
+    sweeps: int,
+    omega: float,
+    winc: int,
+    n_strips: int,
+    n_ctiles: int,
+    channels: int,
+    emit_residual: bool = False,
 ):
-    def kernel(u_hbm, b_hbm, m_hbm, d_hbm, out_hbm, su, sb, sm, sd, so, sems):
+    def kernel(u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch):
+        if emit_residual:
+            out_hbm, res_hbm, su, sb, sm, sd, so, sr, sems = outs_and_scratch
+        else:
+            out_hbm, su, sb, sm, sd, so, sems = outs_and_scratch
+            res_hbm = sr = None
         one = jnp.int32(1)
 
         def tile_body(ci, i, j, carry):
             r0 = i * jnp.int32(STRIP)
             c0 = j * jnp.int32(CTILE)
 
-            idx = [jnp.int32(t) for t in range(5)]
+            idx = [jnp.int32(t) for t in range(6)]
             copies = [
                 pltpu.make_async_copy(
                     u_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)], su, sems.at[idx[0]]
@@ -78,15 +89,17 @@ def _kernel_factory(
             b = sb[:, :].astype(jnp.float32)
             inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * m
 
-            def body(_, u):
+            def neighbor_sum(u):
                 um = u * m
-                s = (
+                return (
                     pltpu.roll(um, one, 0)
                     + pltpu.roll(um, jnp.int32(WINR - 1), 0)
                     + pltpu.roll(um, one, 1)
                     + pltpu.roll(um, jnp.int32(winc - 1), 1)
                 )
-                au = deg * u - s
+
+            def body(_, u):
+                au = deg * u - neighbor_sum(u)
                 return u + omega * (b - au) * inv
 
             u = lax.fori_loop(0, sweeps, body, su[:, :].astype(jnp.float32))
@@ -97,6 +110,20 @@ def _kernel_factory(
                 so, out_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[4]]
             )
             out_cp.start()
+            if emit_residual:
+                # the post-smooth residual r = (b - A u) * m in the same
+                # window — interior needs one more exact ring, so
+                # sweeps + 1 <= HALO_R (asserted by the caller)
+                au = deg * u - neighbor_sum(u)
+                res = (b - au) * m
+                sr[:, :] = res[
+                    HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE
+                ].astype(sr.dtype)
+                res_cp = pltpu.make_async_copy(
+                    sr, res_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[5]]
+                )
+                res_cp.start()
+                res_cp.wait()
             out_cp.wait()
             return carry
 
@@ -115,14 +142,21 @@ def _kernel_factory(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "omega"))
-def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "emit_residual"))
+def fused_jacobi_tpu(
+    u, b, umask, deg, sweeps: int = 8, omega: float = 0.8, emit_residual: bool = False
+):
     """K fused Jacobi sweeps (K <= HALO_R); u/b (C, H, W) f32, umask/deg (H, W).
 
     Equivalent to K applications of the XLA sweep (multigrid._smooth) —
-    validated in tests/test_pallas.py.
+    validated in tests/test_pallas.py. With ``emit_residual`` (requires
+    K + 1 <= HALO_R for the extra exact ring) also returns
+    r = (b - A u) * m computed in the same VMEM window — the V-cycle's
+    post-smooth residual without another full-grid A-apply pass.
     """
-    assert sweeps <= HALO_R, f"sweeps={sweeps} exceeds halo depth {HALO_R}"
+    assert sweeps + (1 if emit_residual else 0) <= HALO_R, (
+        f"sweeps={sweeps} (+residual ring: {emit_residual}) exceeds halo {HALO_R}"
+    )
     c, h, w = u.shape
     hp = -(-h // STRIP) * STRIP
     wp = -(-w // CTILE) * CTILE
@@ -144,26 +178,38 @@ def fused_jacobi_tpu(u, b, umask, deg, sweeps: int = 8, omega: float = 0.8):
 
     n_strips = hp // STRIP
     n_ctiles = wp // CTILE
+    out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
+    scratch = [
+        pltpu.VMEM((WINR, winc), dtype),
+        pltpu.VMEM((WINR, winc), dtype),
+        pltpu.VMEM((WINR, winc), dtype),
+        pltpu.VMEM((WINR, winc), dtype),
+        pltpu.VMEM((STRIP, CTILE), dtype),
+    ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((STRIP, CTILE), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
     out = pl.pallas_call(
-        _kernel_factory(sweeps, float(omega), winc, n_strips, n_ctiles, c),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
+        _kernel_factory(
+            sweeps, float(omega), winc, n_strips, n_ctiles, c, emit_residual
+        ),
+        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((WINR, winc), dtype),
-            pltpu.VMEM((WINR, winc), dtype),
-            pltpu.VMEM((WINR, winc), dtype),
-            pltpu.VMEM((WINR, winc), dtype),
-            pltpu.VMEM((STRIP, CTILE), dtype),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        out_specs=(
+            (pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY))
+            if emit_residual
+            else pl.BlockSpec(memory_space=pl.ANY)
+        ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(up, bp, mp, dp)
+    if emit_residual:
+        return out[0][:, :h, :w], out[1][:, :h, :w]
     return out[:, :h, :w]
 
 

@@ -42,3 +42,29 @@ class TestFusedJacobi:
         want = lax.fori_loop(0, 8, body, u)
         got = fused_jacobi_tpu(u, b, um, dg, sweeps=8, omega=0.8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+    def test_emit_residual_matches_xla(self):
+        import jax.numpy as jnp
+        from jax import lax
+        from satellite_approximation_tpu.ops.pallas_kernels import fused_jacobi_tpu
+        from satellite_approximation_tpu.models.cg import masked_laplacian, neighbor_degree
+
+        rng = np.random.default_rng(1)
+        c, h, w = 2, 600, 700
+        u = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        inv = jnp.where(dg > 0, 1.0 / dg, 0.0)
+
+        def body(_, uu):
+            au = masked_laplacian(uu, um, dg)
+            return uu + 0.8 * (b - au) * inv * um.astype(uu.dtype)
+
+        want_u = lax.fori_loop(0, 6, body, u)
+        want_r = (b - masked_laplacian(want_u, um, dg)) * um.astype(u.dtype)
+        got_u, got_r = fused_jacobi_tpu(
+            u, b, um, dg, sweeps=6, omega=0.8, emit_residual=True
+        )
+        np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), atol=5e-5)
