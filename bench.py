@@ -66,15 +66,18 @@ def bench_ours(b, umask, deg, x0):
         return res
 
     solve_once()  # warmup/compile
-    # best-of-3: the tunneled-TPU runtime shows ±20-50% run-to-run latency
-    # noise; the minimum is the cleanest estimate of device capability
-    dt = float("inf")
-    for _ in range(3):
+    # median-of-5: the tunneled-TPU runtime shows ±20-50% run-to-run latency
+    # noise; the median is robust to a single slow (or lucky) run, and the
+    # full spread is reported so round-over-round deltas can be judged
+    # against the noise floor
+    times = []
+    for _ in range(5):
         t0 = time.perf_counter()
         res = solve_once()
-        dt = min(dt, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     assert res.error <= TOL * 1.01, f"residual {res.error} missed tolerance"
-    return dt, res.iterations, res.error
+    times.sort()
+    return times, res.iterations, res.error
 
 
 def bench_scipy(b, umask, deg, tol=TOL):
@@ -125,7 +128,8 @@ def main():
     x0 = imgs * umask
 
     n_masked = int(umask.sum()) * BANDS
-    ours_dt, iters, rel = bench_ours(b, umask, deg, x0)
+    times, iters, rel = bench_ours(b, umask, deg, x0)
+    ours_dt = times[len(times) // 2]  # median
     ours_mpix_s = n_masked / ours_dt / 1e6
 
     # baseline on a subset of bands to keep wall time bounded, scaled up
@@ -140,12 +144,19 @@ def main():
                 "value": round(ours_mpix_s, 3),
                 "unit": "Mpix/s@1e-6",
                 "vs_baseline": round(ours_mpix_s / scipy_mpix_s, 3),
+                "runs": {
+                    "n": len(times),
+                    "min_s": round(times[0], 3),
+                    "median_s": round(ours_dt, 3),
+                    "max_s": round(times[-1], 3),
+                },
                 "baseline_note": f"scipy CG timed on {sub}/{BANDS} bands, scaled x{BANDS}/{sub} (per-band solves are independent and uniform)",
             }
         )
     )
     print(
-        f"# ours: {ours_dt:.3f}s ({iters} iters, max rel resid {rel:.2e}); "
+        f"# ours: median {ours_dt:.3f}s of {times} ({iters} iters, max rel "
+        f"resid {rel:.2e}); "
         f"scipy-CG baseline: {scipy_dt:.1f}s ({scipy_mpix_s:.2f} Mpix/s)",
         file=sys.stderr,
     )

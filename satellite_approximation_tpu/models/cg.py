@@ -203,6 +203,16 @@ def solve_masked_poisson(
     ``max_iterations`` defaults to n_unknowns/2, the reference's Poisson
     default (poisson.cpp:207); pass a larger cap for machine-precision fills.
     """
+    if dtype != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "solve_masked_poisson: the fused solve path always runs the inner "
+            "CG in f32 (with f64 residual refinement); the `dtype` argument "
+            "no longer selects the inner-solve precision.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     # accept host or device arrays; device inputs never round-trip the host
     # (with the TPU behind a network tunnel, array transfers would dominate)
     b64_j = jnp.asarray(b, dtype=jnp.float64)

@@ -49,7 +49,6 @@ def _sub_cover_count(mask: np.ndarray, bounds: tuple[int, int, int, int]) -> int
     reference's SubCoverCount loop limits (ImageOperations.cpp:188-201)."""
     x0, y0, x1, y1 = bounds
     h, w = mask.shape
-    count = 0
     flipped = np.flipud(mask)
     xs0, xs1 = max(0, x0), min(w - 1, x1)
     ys0, ys1 = max(0, y0), min(h - 1, y1)

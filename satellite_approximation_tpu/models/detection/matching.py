@@ -101,7 +101,6 @@ def _cast_transforms(
     """
     h, w = shape_hw
     corners = np.stack([c.quad.corners() for c in clouds])  # (Nc,4,3)
-    nh = len(heights)
     c = corners[:, None, :, :]  # (Nc,1,4,3)
     z = heights[None, :, None]  # (1,Nh,1)
 
@@ -323,7 +322,6 @@ def match_clouds_shadows(
         use_native = native.available()
     hgt, wdt = cloud_mask.shape
     heights = height_sweep(config)
-    nh = len(heights)
 
     shadow_mask_flipped = np.zeros((hgt, wdt), dtype=bool)
     solutions: dict[int, OptimalSolution] = {}

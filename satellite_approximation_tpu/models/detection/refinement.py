@@ -340,8 +340,9 @@ def element_from_histogram(
 ) -> UniformProbabilitySurface:
     """Histogram (counts, sums of the shadow indicator) -> hole-filled
     surface element. Shared tail of :func:`_probability_map_element`; also
-    fed by the device histogram path (refinement_jax), whose f32 scatter-add
-    sums are exact integers and therefore identical to the host bincounts."""
+    fed by the device histogram path (refinement_jax), whose int32
+    scatter-add sums are exact integers and therefore identical to the host
+    bincounts after the shared f32 conversion below."""
     d = counts2.shape[0]
     grid = np.zeros((d, d), dtype=np.float32)  # grid[j, i]; cell = i + d*j
     valid = counts2 > 0

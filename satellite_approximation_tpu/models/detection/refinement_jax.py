@@ -275,19 +275,22 @@ def beta_map_jax(
 def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
     """Per-resolution (counts, sums) histograms of the shadow indicator over
     (alpha, beta) cells (ProbabilityRefinement.cpp:137-151) as device
-    scatter-adds. Sums of 0/1 indicators are exact integers in f32 (cell
-    populations are bounded by the raster size << 2^24), so the results
-    match the host's f64 bincounts bit-for-bit after conversion."""
+    scatter-adds. Both counts AND indicator sums accumulate as int32 so they
+    stay exact for any cell population up to 2^31 (a full 10980^2 tile can
+    put >2^24 shadow pixels in one coarse cell, where an f32 accumulator
+    would silently saturate); element_from_histogram converts to f32 only at
+    the final division, matching the host's f64-bincount-then-f32 path
+    bit-for-bit."""
     a = jnp.asarray(alpha, jnp.float32).ravel()
     b = jnp.asarray(beta, jnp.float32).ravel()
-    s = jnp.asarray(shadow_f32, jnp.float32).ravel()
+    s = jnp.asarray(shadow_f32, jnp.float32).ravel().astype(jnp.int32)
     out = []
     for d in divisions:
         i = jnp.clip(jnp.floor(a * d).astype(jnp.int32), 0, d - 1)
         j = jnp.clip(jnp.floor(b * d).astype(jnp.int32), 0, d - 1)
         cell = i + d * j
         counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(1)
-        sums = jnp.zeros((d * d,), jnp.float32).at[cell].add(s)
+        sums = jnp.zeros((d * d,), jnp.int32).at[cell].add(s)
         out.append((counts.reshape(d, d), sums.reshape(d, d)))
     return tuple(out)
 

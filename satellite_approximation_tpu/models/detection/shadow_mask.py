@@ -87,7 +87,12 @@ def _dynamic_percentile(values, mask, percent):
     O(n log n) work besides; this is 32 fused VPU passes and O(1) memory."""
     from jax import lax
 
-    flat = values.ravel().astype(jnp.float32)
+    # The bit-space bisection below is order-isomorphic only for
+    # NON-NEGATIVE finite floats (negative IEEE bit patterns sort above
+    # positives as int32, and lo starts at +0.0). Clamp so a future caller
+    # with signed data degrades to "percentile of max(x, 0)" instead of a
+    # silently wrong selection; NIR/probability inputs are >= 0 already.
+    flat = jnp.maximum(values.ravel().astype(jnp.float32), jnp.float32(0.0))
     valid = mask.ravel()
     count = jnp.sum(valid.astype(jnp.int32))
     x = (percent.astype(jnp.float32) * count.astype(jnp.float32)).astype(jnp.int32)

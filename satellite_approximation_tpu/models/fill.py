@@ -288,9 +288,11 @@ def laplace_fill(
         masked_vals = []
 
     single_chunk = bands_per_chunk >= c
+    # masked_values_output never materializes the raster output — holding a
+    # (C, H, W) accumulator anyway would pin ~6 GB of HBM for a 13-band tile
     filled = (
         None
-        if (single_chunk or band_sink is not None)
+        if (single_chunk or band_sink is not None or masked_values_output)
         else jnp.zeros((c, h, w), jnp.float32)
     )
     total_iters = 0

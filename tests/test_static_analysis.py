@@ -3,9 +3,11 @@ ASan/UBSan builds into its CMake presets (/root/reference/CMakePresets.json:33-4
 ci-sanitize block). This is the rebuild's equivalent, built from the tools
 actually present in the image:
 
-* a stdlib-AST lint over every package source (unused imports, mutable
-  default args, bare excepts, f-strings without placeholders, `== None`,
-  duplicate top-level defs) — the pyflakes subset that catches real rot;
+* a stdlib-AST lint over every package source (unused imports, unused local
+  variables, builtin shadowing, mutable default args, bare excepts,
+  f-strings without placeholders, `== None`, duplicate top-level defs) —
+  the pyflakes/ruff subset that catches real rot, reimplemented on the
+  stdlib because ruff/mypy cannot be installed in this image;
 * `-Wall -Wextra -Werror` and ASan+UBSan builds of the native C++, with the
   sanitized binary exercised on its real entry points.
 
@@ -107,6 +109,76 @@ class _Lint(ast.NodeVisitor):
         self.visit(node.value)
 
 
+# builtins whose shadowing reliably indicates a mistake (ruff A001-A002
+# subset — conservative: excludes names like `input`/`filter`/`type` that
+# scientific code sometimes uses deliberately as parameters)
+_SHADOW_BUILTINS = {
+    "list", "dict", "set", "tuple", "str", "int", "float", "bool",
+    "len", "all", "any", "map", "zip", "print", "open", "object",
+    "Exception", "BaseException", "True", "False", "None",
+}
+
+
+def _unused_locals(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> list[str]:
+    """pyflakes F841 subset: locals assigned by a simple `name = ...` and
+    never loaded anywhere in the function (including nested scopes). Tuple
+    unpacking, augmented assignment, loop targets, `_`-prefixed names, and
+    functions using locals()/eval are all exempt — the false-positive-free
+    core of the check."""
+    loaded: set[str] = set()
+    stored: dict[str, int] = {}
+    dynamic = False
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Name):
+            if isinstance(node.ctx, ast.Load):
+                loaded.add(node.id)
+                if node.id in ("locals", "eval", "exec", "vars"):
+                    dynamic = True
+        elif isinstance(node, (ast.Global, ast.Nonlocal)):
+            for n in node.names:
+                loaded.add(n)
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1:
+            t = node.targets[0]
+            if isinstance(t, ast.Name) and not t.id.startswith("_"):
+                stored.setdefault(t.id, node.lineno)
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            if isinstance(node.target, ast.Name) and not node.target.id.startswith("_"):
+                stored.setdefault(node.target.id, node.lineno)
+    if dynamic:
+        return []
+    return [
+        f"{lineno}: unused local '{name}' in '{fn.name}'"
+        for name, lineno in sorted(stored.items(), key=lambda kv: kv[1])
+        if name not in loaded
+    ]
+
+
+def _builtin_shadows(tree: ast.AST) -> list[str]:
+    """ruff A001/A002 subset: function parameters or simple assignments that
+    shadow a core builtin."""
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            args = node.args
+            every = (
+                list(args.posonlyargs) + list(args.args)
+                + list(args.kwonlyargs)
+                + ([args.vararg] if args.vararg else [])
+                + ([args.kwarg] if args.kwarg else [])
+            )
+            for a in every:
+                if a.arg in _SHADOW_BUILTINS:
+                    out.append(
+                        f"{node.lineno}: parameter '{a.arg}' of '{node.name}' "
+                        "shadows a builtin"
+                    )
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id in _SHADOW_BUILTINS:
+                    out.append(f"{node.lineno}: assignment shadows builtin '{t.id}'")
+    return out
+
+
 def _module_lint(path: Path) -> list[str]:
     src = path.read_text()
     tree = ast.parse(src, filename=str(path))
@@ -125,6 +197,10 @@ def _module_lint(path: Path) -> list[str]:
                     f"(first at {seen[node.name]})"
                 )
             seen[node.name] = node.lineno
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            lint.problems.extend(_unused_locals(node))
+    lint.problems.extend(_builtin_shadows(tree))
     return [f"{path.relative_to(REPO)}:{p}" for p in lint.problems]
 
 
