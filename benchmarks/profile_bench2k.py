@@ -42,7 +42,8 @@ def main():
     deg_j = jax.jit(multigrid._neighbor_degree_traced, static_argnums=(0, 1))(
         bench.H, bench.W
     )
-    levels = multigrid._device_hierarchy(um_j, deg_j)
+    hier = multigrid._device_hierarchy(um_j, deg_j)
+    levels = hier.levels
     pdtype = multigrid._precond_dtype_for((bench.H, bench.W))
     print(f"precond dtype: {pdtype.__name__}; levels: {[l[0].shape for l in levels]}")
 
@@ -62,14 +63,14 @@ def main():
 
     @jax.jit
     def vcycle(r):
-        return multigrid._v_cycle(lv16, r, jnp.zeros_like(r), 0)
+        return multigrid._v_cycle(lv16, r, jnp.zeros_like(r), 0, hier.coarse_inv)
 
     timeit("one full V-cycle", lambda: float(vcycle(x16)[::499, ::499, ::499].astype(jnp.float32).sum()))
 
     @jax.jit
     def pcg_iters(b, n):
         out = multigrid._pcg_core(
-            b, jnp.zeros_like(b), jnp.float32(1e-30), levels,
+            b, jnp.zeros_like(b), jnp.float32(1e-30), hier,
             max_iterations=n, precond_dtype=pdtype,
         )
         return out[0], out[1]

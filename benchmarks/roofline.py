@@ -24,9 +24,10 @@ def make_mask(h, w, seed=3, n=40):
     r = np.random.default_rng(seed)
     m = np.zeros((h, w), dtype=bool)
     yy, xx = np.ogrid[:h, :w]
+    pad = min(40, h // 4, w // 4)
     for _ in range(n):
-        cy, cx = r.integers(40, h - 40), r.integers(40, w - 40)
-        ry, rx = r.integers(8, h // 24), r.integers(8, w // 24)
+        cy, cx = r.integers(pad, h - pad), r.integers(pad, w - pad)
+        ry, rx = r.integers(4, max(h // 24, 5)), r.integers(4, max(w // 24, 5))
         m |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
     m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
     return m
@@ -42,7 +43,8 @@ def rows_for(h, w, channels, runs=5):
 
     m = make_mask(h, w)
     deg = neighbor_degree((h, w))
-    levels_j = multigrid._device_hierarchy(m, deg)
+    hier = multigrid._device_hierarchy(m, deg)
+    levels_j = hier.levels
     um_j, deg_j = levels_j[0]
     shapes = [tuple(lm.shape) for lm, _ in levels_j]
 
@@ -100,7 +102,8 @@ def rows_for(h, w, channels, runs=5):
     levels_p = tuple((lm, ld.astype(pdtype)) for lm, ld in levels_j)
     vc = jax.jit(
         lambda r: multigrid._v_cycle(
-            levels_p, r.astype(pdtype), jnp.zeros(r.shape, pdtype), 0
+            levels_p, r.astype(pdtype), jnp.zeros(r.shape, pdtype), 0,
+            hier.coarse_inv,
         )
     )
     fn = lambda: jax.block_until_ready(vc(u))
@@ -122,7 +125,7 @@ def rows_for(h, w, channels, runs=5):
     def pcg(n):
         return jax.block_until_ready(
             multigrid._pcg_run(
-                r32, z32, jnp.asarray(1e-30, jnp.float32), levels_j,
+                r32, z32, jnp.asarray(1e-30, jnp.float32), hier,
                 max_iterations=n, precond_dtype=pdtype,
             )
         )

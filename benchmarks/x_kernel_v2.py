@@ -1,0 +1,292 @@
+"""EXPERIMENT: double-buffered fused-Jacobi strip kernel (v2).
+
+The production kernel (ops/pallas_kernels.py) runs each window fully
+serially: DMA-in (wait) -> compute -> DMA-out (wait). Nothing overlaps, so
+achieved HBM bandwidth is bounded by the worse of the DMA and compute
+phases. v2 double-buffers both directions: window k+1's input DMAs start
+before window k's compute, and output DMAs drain asynchronously two
+windows behind. Validated bit-exact against v1 here before porting.
+
+Run on the TPU: python benchmarks/x_kernel_v2.py [--size 4096] [--sweeps 6]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from satellite_approximation_tpu.ops.pallas_kernels import (
+    STRIP, HALO_R, WINR, HALO_C, CTILE, fused_jacobi_tpu,
+)
+
+
+def _kernel_factory_v2(
+    sweeps: int,
+    omega: float,
+    winc: int,
+    n_strips: int,
+    n_ctiles: int,
+    channels: int,
+    emit_residual: bool = False,
+):
+    n_win = channels * n_strips * n_ctiles
+    per_strip = n_ctiles
+
+    def kernel(u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch):
+        if emit_residual:
+            out_hbm, res_hbm, su, sb, sm, sd, so, sr, isems, osems, rsems = (
+                outs_and_scratch
+            )
+        else:
+            out_hbm, su, sb, sm, sd, so, isems, osems = outs_and_scratch
+            res_hbm = sr = rsems = None
+        one = jnp.int32(1)
+
+        def coords(k):
+            ci = k // jnp.int32(n_strips * per_strip)
+            rem = k % jnp.int32(n_strips * per_strip)
+            i = rem // jnp.int32(per_strip)
+            j = rem % jnp.int32(per_strip)
+            return ci, i * jnp.int32(STRIP), j * jnp.int32(CTILE)
+
+        def in_copies(k, slot):
+            ci, r0, c0 = coords(k)
+            return [
+                pltpu.make_async_copy(
+                    u_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)],
+                    su.at[slot], isems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    b_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)],
+                    sb.at[slot], isems.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    m_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)],
+                    sm.at[slot], isems.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)],
+                    sd.at[slot], isems.at[slot, 3],
+                ),
+            ]
+
+        def out_copy(k, slot):
+            ci, r0, c0 = coords(k)
+            return pltpu.make_async_copy(
+                so.at[slot],
+                out_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)],
+                osems.at[slot],
+            )
+
+        def res_copy(k, slot):
+            ci, r0, c0 = coords(k)
+            return pltpu.make_async_copy(
+                sr.at[slot],
+                res_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)],
+                rsems.at[slot],
+            )
+
+        for cp in in_copies(jnp.int32(0), jnp.int32(0)):
+            cp.start()
+
+        def body(k, carry):
+            slot = k % 2
+            nslot = (k + 1) % 2
+
+            @pl.when(k + 1 < n_win)
+            def _():
+                for cp in in_copies(k + 1, nslot):
+                    cp.start()
+
+            for cp in in_copies(k, slot):
+                cp.wait()
+
+            m = sm[slot].astype(jnp.float32)
+            deg = sd[slot].astype(jnp.float32)
+            b = sb[slot].astype(jnp.float32)
+            inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * m
+
+            def neighbor_sum(u):
+                um = u * m
+                return (
+                    pltpu.roll(um, one, 0)
+                    + pltpu.roll(um, jnp.int32(WINR - 1), 0)
+                    + pltpu.roll(um, one, 1)
+                    + pltpu.roll(um, jnp.int32(winc - 1), 1)
+                )
+
+            def sweep(_, u):
+                au = deg * u - neighbor_sum(u)
+                return u + omega * (b - au) * inv
+
+            u = lax.fori_loop(0, sweeps, sweep, su[slot].astype(jnp.float32))
+
+            # reclaim this slot's output buffers (window k-2 used them)
+            @pl.when(k >= 2)
+            def _():
+                out_copy(k - 2, slot).wait()
+                if emit_residual:
+                    res_copy(k - 2, slot).wait()
+
+            so[slot] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE].astype(
+                so.dtype
+            )
+            out_copy(k, slot).start()
+            if emit_residual:
+                au = deg * u - neighbor_sum(u)
+                res = (b - au) * m
+                sr[slot] = res[
+                    HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE
+                ].astype(sr.dtype)
+                res_copy(k, slot).start()
+            return carry
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_win), body, jnp.int32(0))
+
+        # drain the last (up to) two in-flight output DMAs
+        def drain(k, carry):
+            out_copy(k, k % 2).wait()
+            if emit_residual:
+                res_copy(k, k % 2).wait()
+            return carry
+
+        lax.fori_loop(
+            jnp.maximum(jnp.int32(0), jnp.int32(n_win - 2)),
+            jnp.int32(n_win),
+            drain,
+            jnp.int32(0),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "emit_residual"))
+def fused_jacobi_v2(
+    u, b, umask, deg, sweeps: int = 8, omega: float = 0.8, emit_residual: bool = False
+):
+    assert sweeps + (1 if emit_residual else 0) <= HALO_R
+    c, h, w = u.shape
+    hp = -(-h // STRIP) * STRIP
+    wp = -(-w // CTILE) * CTILE
+    winc = CTILE + 2 * HALO_C
+
+    def pad_img(x, value=0.0):
+        return jnp.pad(
+            x,
+            [(0, 0)] * (x.ndim - 2)
+            + [(HALO_R, hp - h + HALO_R), (HALO_C, wp - w + HALO_C)],
+            constant_values=value,
+        )
+
+    dtype = u.dtype
+    up = pad_img(u)
+    bp = pad_img(b.astype(dtype))
+    mp = pad_img(umask.astype(dtype))
+    dp = pad_img(deg.astype(dtype), value=1.0)
+
+    n_strips = hp // STRIP
+    n_ctiles = wp // CTILE
+    out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
+    scratch = [
+        pltpu.VMEM((2, WINR, winc), dtype),
+        pltpu.VMEM((2, WINR, winc), dtype),
+        pltpu.VMEM((2, WINR, winc), dtype),
+        pltpu.VMEM((2, WINR, winc), dtype),
+        pltpu.VMEM((2, STRIP, CTILE), dtype),
+    ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((2, STRIP, CTILE), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if emit_residual:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    out = pl.pallas_call(
+        _kernel_factory_v2(
+            sweeps, float(omega), winc, n_strips, n_ctiles, c, emit_residual
+        ),
+        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(
+            (pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY))
+            if emit_residual
+            else pl.BlockSpec(memory_space=pl.ANY)
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(up, bp, mp, dp)
+    if emit_residual:
+        return out[0][:, :h, :w], out[1][:, :h, :w]
+    return out[:, :h, :w]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--sweeps", type=int, default=6)
+    ap.add_argument("--runs", type=int, default=7)
+    args = ap.parse_args()
+
+    h = w = args.size
+    c = args.channels
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((c, h, w), dtype=np.float32))
+    b = jnp.asarray(rng.random((c, h, w), dtype=np.float32))
+    m = jnp.asarray(rng.random((h, w)) > 0.3)
+    deg = jnp.full((h, w), 4.0, jnp.float32)
+    jax.block_until_ready((u, b, m, deg))
+
+    from satellite_approximation_tpu.utils import roofline as rl
+
+    for emit_res in (False, True):
+        ref = fused_jacobi_tpu(
+            u, b, m, deg, sweeps=args.sweeps, emit_residual=emit_res
+        )
+        new = fused_jacobi_v2(
+            u, b, m, deg, sweeps=args.sweeps, emit_residual=emit_res
+        )
+        ref = ref if isinstance(ref, tuple) else (ref,)
+        new = new if isinstance(new, tuple) else (new,)
+        for a, bb in zip(ref, new):
+            diff = float(jnp.max(jnp.abs(a - bb)))
+            print(f"emit_residual={emit_res}: max |v1 - v2| = {diff}")
+            assert diff == 0.0, "v2 mismatch"
+
+        nbytes = rl.smoother_bytes(h, w, c, 4, emit_residual=emit_res)
+        t1 = rl.measure(
+            lambda: jax.block_until_ready(
+                fused_jacobi_tpu(u, b, m, deg, sweeps=args.sweeps, emit_residual=emit_res)
+            ),
+            n=args.runs,
+        )
+        t2 = rl.measure(
+            lambda: jax.block_until_ready(
+                fused_jacobi_v2(u, b, m, deg, sweeps=args.sweeps, emit_residual=emit_res)
+            ),
+            n=args.runs,
+        )
+        r1 = rl.row("v1", t1, nbytes)
+        r2 = rl.row("v2", t2, nbytes)
+        print(
+            f"  v1: {t1*1e3:8.2f} ms  {r1.achieved_gbps:7.1f} GB/s "
+            f"({r1.pct_of_roofline:5.1f}% SoL)"
+        )
+        print(
+            f"  v2: {t2*1e3:8.2f} ms  {r2.achieved_gbps:7.1f} GB/s "
+            f"({r2.pct_of_roofline:5.1f}% SoL)  speedup {t1/t2:.2f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()

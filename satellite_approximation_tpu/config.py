@@ -55,6 +55,10 @@ class MatchingConfig:
     min_support_pixels: int = 5  # CloudShadowMatching.cpp:93
     trim_lo: float = 0.1  # CloudShadowMatching.cpp:195
     trim_hi: float = 0.9
+    # "auto": native C++ scan when the library is available (the right
+    #   call on CPU-attached or tunneled hosts), else the device sweep.
+    # "native" / "jax": force one backend (equality-tested pair).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ...config import CloudMaskConfig
 from ...ops.blur import gaussian_blur
-from ...ops.masks import scl_mask, SCL
+from ...ops.masks import scl_mask, SCL, fetch_mask
 from ...ops.morphology import dilate, close, cv_gaussian_blur
 from ...ops.components import partition_regions, Region
 from ...ops import geometry
@@ -51,16 +51,28 @@ def _cloud_mask_kernel(clp, cld, scl, config: CloudMaskConfig):
 def generate_cloud_mask_ignore_low_probability(
     clp: np.ndarray, cld: np.ndarray, scl: np.ndarray,
     config: CloudMaskConfig = CloudMaskConfig(),
+    device_output: bool = False,
 ) -> GeneratedCloudMask:
     """The variant ``detect`` uses (CloudMask.cpp:30-61): threshold blurred
     CLP & CLD, OR with SCL medium/high cloud classes, then morphological
-    cleanup. Returns both the processed and the raw mask."""
+    cleanup. Returns both the processed and the raw mask.
+
+    ``device_output`` keeps all three rasters on device (the all-device
+    pipeline route: downstream stages consume them in-place and only
+    bit-packed masks ever cross back). Otherwise masks come home through
+    the packed fetch (1 bit/px over the link instead of 8)."""
     mask, processed, blended = _cloud_mask_kernel(
         jnp.asarray(clp, jnp.float32), jnp.asarray(cld, jnp.float32), jnp.asarray(scl), config
     )
+    if device_output:
+        return GeneratedCloudMask(
+            cloud_mask=processed,
+            cloud_mask_no_processing=mask,
+            blended_cloud_probability=blended,
+        )
     return GeneratedCloudMask(
-        cloud_mask=np.asarray(processed),
-        cloud_mask_no_processing=np.asarray(mask),
+        cloud_mask=fetch_mask(processed),
+        cloud_mask_no_processing=fetch_mask(mask),
         blended_cloud_probability=np.asarray(blended),
     )
 
@@ -112,7 +124,10 @@ def partition_cloud_mask(
     (CloudMask.cpp:63-108). Returns (id_map, clouds); id_map holds the
     compact cloud id per pixel (-1 elsewhere), ids in the reference's
     bottom-left column-major discovery order."""
-    mask = np.asarray(cloud_mask, dtype=bool)
+    # device masks come home bit-packed; the flood itself is host-side
+    # (pointer-chasing BFS — vectorized label propagation exists in
+    # ops/components but loses to the native flood at every size measured)
+    mask = fetch_mask(cloud_mask)
     h, w = mask.shape
     id_map, regions = partition_regions(mask, min_area=min_cloud_area, connectivity=8)
 

@@ -248,8 +248,10 @@ def _match_native(
     from ... import native
 
     hgt, wdt = cloud_mask.shape
-    cmask_f = np.ascontiguousarray(np.flipud(np.asarray(cloud_mask, bool)))
-    psm_f = np.ascontiguousarray(np.flipud(np.asarray(potential_shadow, bool)))
+    from ...ops.masks import fetch_mask
+
+    cmask_f = np.ascontiguousarray(np.flipud(fetch_mask(cloud_mask)))
+    psm_f = np.ascontiguousarray(np.flipud(fetch_mask(potential_shadow)))
     cmap_f = np.ascontiguousarray(np.flipud(np.asarray(cloud_map, np.int32)))
 
     for k, cloud in enumerate(clouds):
@@ -319,7 +321,12 @@ def match_clouds_shadows(
     if use_native is None:
         from ... import native
 
-        use_native = native.available()
+        if config.backend == "native":
+            use_native = True
+        elif config.backend == "jax":
+            use_native = False
+        else:
+            use_native = native.available()
     hgt, wdt = cloud_mask.shape
     heights = height_sweep(config)
 
@@ -344,20 +351,25 @@ def match_clouds_shadows(
                 clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
             )
 
-        # flipped (bottom-origin-row) arrays, padded so dynamic_slice never clamps
+        # flipped (bottom-origin-row) arrays, padded so dynamic_slice never
+        # clamps — flip/pad ON DEVICE: host inputs upload their raw bytes
+        # once, device-resident inputs (the all-device pipeline route) never
+        # round-trip the link at all
         ext_x = (mxx - mnx + 1).max(axis=1)  # (Nc,)
         ext_y = (mxy - mny + 1).max(axis=1)
         pad_w = int(min(_bucket_size(int(ext_x.max())), _BUCKETS[-1]))
         pad_h = int(min(_bucket_size(int(ext_y.max())), _BUCKETS[-1]))
-        cmask_f = np.flipud(np.asarray(cloud_mask, bool))
-        psm_f = np.flipud(np.asarray(potential_shadow, bool))
-        cmap_f = np.flipud(np.asarray(cloud_map, np.int32))
-        cmask_f = np.pad(cmask_f, ((0, pad_h), (0, pad_w)))
-        psm_f = np.pad(psm_f, ((0, pad_h), (0, pad_w)))
-        cmap_f = np.pad(cmap_f, ((0, pad_h), (0, pad_w)), constant_values=-2)
-        cmask_j = jnp.asarray(cmask_f)
-        psm_j = jnp.asarray(psm_f)
-        cmap_j = jnp.asarray(cmap_f)
+        cmask_j = jnp.pad(
+            jnp.flipud(jnp.asarray(cloud_mask, bool)), ((0, pad_h), (0, pad_w))
+        )
+        psm_j = jnp.pad(
+            jnp.flipud(jnp.asarray(potential_shadow, bool)), ((0, pad_h), (0, pad_w))
+        )
+        cmap_j = jnp.pad(
+            jnp.flipud(jnp.asarray(cloud_map, jnp.int32)),
+            ((0, pad_h), (0, pad_w)),
+            constant_values=-2,
+        )
 
         buckets: dict[tuple[int, int], list[int]] = {}
         for k in range(len(clouds)):

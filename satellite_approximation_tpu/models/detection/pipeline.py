@@ -146,7 +146,10 @@ def _read_angles(
 
 
 def _write_mask(mask: np.ndarray, out_path: Path, template: Path) -> None:
-    write_geotiff(mask.astype(np.uint8), out_path, template_path=template)
+    from ...ops.masks import fetch_mask
+
+    # device masks come home bit-packed (1 bit/px over the link)
+    write_geotiff(fetch_mask(mask).astype(np.uint8), out_path, template_path=template)
 
 
 def detect(
@@ -220,9 +223,10 @@ def detect(
     shape = clp.shape
 
     _logger.debug(" --- Cloud Detection...")
+    all_device = config.refinement.backend == "jax"
     with timer.stage("cloud mask"):
         generated = cm.generate_cloud_mask_ignore_low_probability(
-            clp, cld, scl, config.cloud_mask
+            clp, cld, scl, config.cloud_mask, device_output=all_device
         )
         status.clouds_computed = True
         status.percent_clouds = percent_non_zero(generated.cloud_mask)
@@ -254,6 +258,7 @@ def detect(
             generated.cloud_mask_no_processing,
             scl_host if host_shadow else scl,
             config.shadow_mask,
+            device_output=all_device,
         )
 
     angle_dtype = np.float32  # the LS reduction uses f32 directions

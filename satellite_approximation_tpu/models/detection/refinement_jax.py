@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...config import RefinementConfig
+from ...ops.masks import fetch_mask
 from ...ops import geometry
 from .matching import OptimalSolution, ShadowObject, _bucket_size
 from .refinement import _border_mask
@@ -199,7 +200,9 @@ def beta_map_jax(
     evaluated as one fused XLA program per window-size bucket."""
     h, w = clp_blended.shape
     sx, sy = geometry.sides((h, w), diagonal)
-    clp_j = jnp.asarray(np.flipud(np.asarray(clp_blended, np.float32)).copy())
+    # flip on device: a device-resident CLP (the all-device pipeline route)
+    # must not round-trip the link for a row reversal
+    clp_j = jnp.flipud(jnp.asarray(clp_blended, jnp.float32))
 
     # host prep: per accepted shadow, the influence window geometry and the
     # (tiny) bbox-border stencil — pure indexing, no floating-point compute
@@ -376,4 +379,4 @@ def improved_shadow_mask_jax(
         jnp.asarray(cloud_mask).astype(bool),
         jnp.float32(threshold),
     )
-    return np.asarray(out)
+    return fetch_mask(out)

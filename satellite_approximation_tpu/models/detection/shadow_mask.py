@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ...config import ShadowMaskConfig, BIG_SCENE_PIXELS
 from ...ops.blur import gaussian_blur
-from ...ops.masks import scl_mask, SCL, cover_percentage
+from ...ops.masks import scl_mask, SCL, cover_percentage, fetch_mask
 from ...ops.pitfill import pit_fill
 
 
@@ -181,6 +181,7 @@ def generate_potential_shadow_mask(
     cloud_mask: np.ndarray,
     scl: np.ndarray,
     config: ShadowMaskConfig = ShadowMaskConfig(),
+    device_output: bool = False,
 ) -> PotentialShadowMaskResult:
     """Full candidate-shadow stage (PotentialShadowMask.cpp:21-51).
 
@@ -210,13 +211,17 @@ def generate_potential_shadow_mask(
         # tunneled host, and the device refinement path consumes them in HBM
         # (np.asarray triggers the fetch lazily if a host consumer needs one)
         return PotentialShadowMaskResult(
-            mask=np.asarray(mask),
+            mask=mask if device_output else fetch_mask(mask),
             difference_of_pitfill_nir=diff,
             pitfill_result=pitfilled,
         )
     mask, diff, pitfilled = _potential_shadow_kernel(nir_j, cloud_j, scl_j, config)
+    if device_output:
+        return PotentialShadowMaskResult(
+            mask=mask, difference_of_pitfill_nir=diff, pitfill_result=pitfilled
+        )
     return PotentialShadowMaskResult(
-        mask=np.asarray(mask),
+        mask=fetch_mask(mask),
         difference_of_pitfill_nir=np.asarray(diff),
         pitfill_result=np.asarray(pitfilled),
     )

@@ -28,6 +28,7 @@ Design (fully jittable, static shapes):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -41,6 +42,32 @@ _PRE_SMOOTH = 6
 _POST_SMOOTH = 6
 _COARSE_ITERS = 64
 _MIN_SIZE = 24
+# Smoother polynomial: "chebyshev" gives each sweep its own weight from the
+# Chebyshev roots on [LAMBDA_MAX/alpha, LAMBDA_MAX] — the K-sweep error
+# polynomial is then the minimax polynomial on the smoothing interval
+# (contraction 2/T_K(sigma) instead of damped Jacobi's (1-omega*lo)^K).
+# With K=6, alpha=4: 0.0055 vs 0.047 — a strictly stronger smoother at the
+# same cost. "jacobi" restores the classic fixed-omega sweeps.
+SMOOTHER = "chebyshev"
+_CHEB_ALPHA = 4.0  # smooth [lambda_max/alpha, lambda_max]
+_LAMBDA_MAX = 2.0  # Gershgorin bound of D^-1 A for the masked 5-point stencil
+
+
+def _smoother_omegas(k: int) -> tuple[float, ...]:
+    """Per-sweep weights. Chebyshev: omega_j = 1/theta_j with theta_j the
+    K Chebyshev nodes on the smoothing interval; applied in natural order
+    pre-smoothing and reversed post-smoothing so the V-cycle stays
+    (approximately) symmetric — each Jacobi factor (I - omega D^-1 A) is
+    self-adjoint in the D-inner product, so reversing the product order
+    transposes the smoother."""
+    import math
+
+    if SMOOTHER != "chebyshev":
+        return (_OMEGA,) * k
+    lo, hi = _LAMBDA_MAX / _CHEB_ALPHA, _LAMBDA_MAX
+    mid, rad = (hi + lo) / 2.0, (hi - lo) / 2.0
+    thetas = [mid + rad * math.cos(math.pi * (2 * j - 1) / (2 * k)) for j in range(1, k + 1)]
+    return tuple(1.0 / t for t in thetas)
 # see the inner_tol comment in solve(): per-pass f32 CG stops here and the
 # f64 outer loop carries the rest
 INNER_TOL_FLOOR = 1e-4
@@ -151,6 +178,58 @@ def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
     return levels
 
 
+class Hierarchy(NamedTuple):
+    """Device multigrid hierarchy: (umask, deg) per level plus the dense
+    inverse of the coarsest-level operator (None when the coarsest grid is
+    too large for a dense factorization — extreme aspect ratios only)."""
+
+    levels: tuple
+    coarse_inv: Optional[jnp.ndarray]
+
+
+# Dense-coarse-solve cap, in coarsest-grid CELLS. 4096 cells = a 4096^2 f32
+# inverse (67 MB) built once per mask; every square input stops well under
+# it (a 10980^2 tile's coarsest level is 22x22 = 484 cells).
+_DENSE_COARSE_MAX = 4096
+
+
+@jax.jit
+def _dense_coarse_inverse(m, deg):
+    """inv(A) of the coarsest masked 5-point operator, dense f32.
+
+    The coarse-grid correction was a ~100-iteration CG whose ~8 tiny ops per
+    iteration dominated the V-cycle's non-bandwidth time on TPU (measured:
+    the marginal PCG iteration ran at ~29% of the HBM roofline at 2048^2,
+    with the coarse tail the largest non-traffic term). One precomputed
+    N<=4096 dense inverse turns the whole coarse solve into a single MXU
+    matvec — and makes the V-cycle's coarsest correction exact, which also
+    strengthens the preconditioner.
+
+    Rows/cols for known cells are identity (their residual is zero), so the
+    inverse acts as the exact solve on every masked component.
+    """
+    hc, wc = m.shape
+    n = hc * wc
+    mflat = m.ravel()
+    diag = jnp.where(mflat, deg.ravel().astype(jnp.float32), jnp.float32(1.0))
+    rng = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.zeros((n, n), jnp.float32).at[rng, rng].set(diag)
+    idx = rng.reshape(hc, wc)
+
+    def link(a, p, q, ok):
+        val = jnp.where(ok, jnp.float32(-1.0), jnp.float32(0.0))
+        a = a.at[p, q].add(val)
+        return a.at[q, p].add(val)
+
+    a = link(
+        a, idx[:-1, :].ravel(), idx[1:, :].ravel(), (m[:-1, :] & m[1:, :]).ravel()
+    )
+    a = link(
+        a, idx[:, :-1].ravel(), idx[:, 1:].ravel(), (m[:, :-1] & m[:, 1:]).ravel()
+    )
+    return jnp.linalg.inv(a)
+
+
 def _use_pallas(u, sweeps, extra_ring=0):
     from ..ops.pallas_kernels import pallas_available, HALO_R as HALO
 
@@ -162,37 +241,38 @@ def _use_pallas(u, sweeps, extra_ring=0):
     )
 
 
-def _smooth(u, b, um, deg, sweeps):
-    """Damped Jacobi restricted to unknowns. On TPU, large levels dispatch
-    to the fused Pallas strip kernel (all sweeps in VMEM, ~2.5x faster than
-    the XLA per-sweep path); small levels and other backends use XLA."""
+def _smooth(u, b, um, deg, omegas: tuple):
+    """Weighted-Jacobi sweeps (one weight per sweep — Chebyshev smoothing
+    by default, see :func:`_smoother_omegas`) restricted to unknowns. On
+    TPU, large levels dispatch to the fused Pallas strip kernel (all sweeps
+    in VMEM, ~2.5x faster than the XLA per-sweep path); small levels and
+    other backends use XLA."""
     from ..ops.pallas_kernels import fused_jacobi_tpu
 
-    if _use_pallas(u, sweeps):
+    if _use_pallas(u, len(omegas)):
         # the Pallas path computes updates everywhere (mask folds into the
         # update term); match the XLA path exactly
-        return fused_jacobi_tpu(u, b, um, deg, sweeps=sweeps, omega=_OMEGA)
+        return fused_jacobi_tpu(u, b, um, deg, sweeps=len(omegas), omega=omegas)
 
     inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
 
-    def body(_, u):
+    for om in omegas:
         au = masked_laplacian(u, um, deg)
-        return u + _OMEGA * (b - au) * inv_deg * um
+        u = u + om * (b - au) * inv_deg * um
+    return u
 
-    return lax.fori_loop(0, sweeps, body, u)
 
-
-def _smooth_residual(u, b, um, deg, sweeps):
+def _smooth_residual(u, b, um, deg, omegas: tuple):
     """(smoothed u, post-smooth residual (b - A u) * um) — fused into ONE
     Pallas pass where available (the residual reuses the VMEM window, no
     second full-grid A-apply)."""
     from ..ops.pallas_kernels import fused_jacobi_tpu
 
-    if _use_pallas(u, sweeps, extra_ring=1):
+    if _use_pallas(u, len(omegas), extra_ring=1):
         return fused_jacobi_tpu(
-            u, b, um, deg, sweeps=sweeps, omega=_OMEGA, emit_residual=True
+            u, b, um, deg, sweeps=len(omegas), omega=omegas, emit_residual=True
         )
-    u = _smooth(u, b, um, deg, sweeps)
+    u = _smooth(u, b, um, deg, omegas)
     r = (b - masked_laplacian(u, um, deg)) * um.astype(u.dtype)
     return u, r
 
@@ -245,10 +325,20 @@ def _prolong(e, fine_shape):
     return up[..., : fine_shape[-2], : fine_shape[-1]]
 
 
-def _v_cycle(levels_j, b, u, lvl):
+def _v_cycle(levels_j, b, u, lvl, coarse_inv=None):
     um, deg = levels_j[lvl]
     if lvl == len(levels_j) - 1:
-        # coarsest: plain CG, budgeted by the coarse grid's diameter (when
+        if coarse_inv is not None:
+            # exact coarse solve: one MXU matvec against the precomputed
+            # dense inverse (see _dense_coarse_inverse) — replaces ~100 CG
+            # iterations of tiny VPU ops
+            r = (b - masked_laplacian(u, um, deg)) * um
+            n = um.shape[-2] * um.shape[-1]
+            rb = r.reshape(*r.shape[:-2], n).astype(jnp.float32)
+            e = (rb @ coarse_inv.T).astype(u.dtype).reshape(r.shape)
+            return u + e * um.astype(u.dtype)
+        # coarsest without a dense inverse (oversized coarse grids only):
+        # plain CG, budgeted by the coarse grid's diameter (when
         # any-pooling saturates the mask early, the coarsest level can be
         # large and nearly all-unknown — a fixed budget starves it and the
         # whole preconditioner collapses)
@@ -272,23 +362,33 @@ def _v_cycle(levels_j, b, u, lvl):
         u, _, _, _ = lax.fori_loop(0, coarse_iters, body, (u, r, r, rs))
         return u
 
-    u, r = _smooth_residual(u, b, um, deg, _PRE_SMOOTH)
+    pre = _smoother_omegas(_PRE_SMOOTH)
+    u, r = _smooth_residual(u, b, um, deg, pre)
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
-    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1)
+    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv)
     u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
-    u = _smooth(u, b, um, deg, _POST_SMOOTH)
+    # reversed weights = the transpose smoother (see _smoother_omegas)
+    u = _smooth(u, b, um, deg, tuple(reversed(_smoother_omegas(_POST_SMOOTH))))
     return u
 
 
-def _pcg_core(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
+def _pcg_core(
+    b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32,
+    coarse_inv=None,
+):
     """Traceable MG-PCG body — callable from inside other jitted programs
     (the fused refinement solve in models/fill.py); :data:`_pcg_run` is the
     jitted entry point.
 
     MG-preconditioned CG over (..., H, W) batches. ``levels_j`` is a
     pytree of (umask, deg) per level, passed as traced arguments so the
-    compilation caches on *shapes* — new cloud masks reuse the executable."""
+    compilation caches on *shapes* — new cloud masks reuse the executable.
+    ``coarse_inv`` (optional) is the dense coarsest-operator inverse from
+    :func:`_dense_coarse_inverse`; accepting a bare levels tuple without it
+    keeps older callers (parallel/mg, benchmarks) working unchanged."""
+    if isinstance(levels_j, Hierarchy):
+        levels_j, coarse_inv = levels_j.levels, levels_j.coarse_inv
     um0, deg0 = levels_j[0]
     # the V-cycle is only a preconditioner and could in principle run at
     # reduced precision (half the HBM traffic) — but A/B measurement
@@ -303,6 +403,7 @@ def _pcg_core(b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32):
             r.astype(precond_dtype),
             jnp.zeros(r.shape, precond_dtype),
             0,
+            coarse_inv,
         )
         return z16.astype(r.dtype)
 
@@ -359,11 +460,11 @@ _pcg_run = functools.partial(
 _HIERARCHY_CACHE: dict = {}
 
 
-def _device_hierarchy(umask, deg):
-    """(umask, deg) per level as device arrays. Coarse levels are computed
-    on device (no per-level uploads); the cache key is a host hash for
-    numpy masks or a device fingerprint (one scalar fetch) for device
-    masks."""
+def _device_hierarchy(umask, deg) -> Hierarchy:
+    """:class:`Hierarchy` — (umask, deg) per level as device arrays plus
+    the dense coarsest-operator inverse. Coarse levels are computed on
+    device (no per-level uploads); the cache key is a host hash for numpy
+    masks or a device fingerprint (one scalar fetch) for device masks."""
     if isinstance(umask, np.ndarray):
         key = (umask.shape, hash(umask.tobytes()))
         umask_j = None
@@ -375,15 +476,25 @@ def _device_hierarchy(umask, deg):
     cached = _HIERARCHY_CACHE.get(key)
     if cached is not None:
         # coarse levels depend on the mask alone; level 0 carries the
-        # caller's deg
-        return ((cached[0][0], deg_j),) + cached[1:]
+        # caller's deg — and when level 0 IS the coarsest level (single-
+        # level hierarchies), the dense inverse depends on that deg too
+        levels = ((cached.levels[0][0], deg_j),) + cached.levels[1:]
+        coarse_inv = cached.coarse_inv
+        if len(levels) == 1 and coarse_inv is not None:
+            coarse_inv = _dense_coarse_inverse(levels[0][0], deg_j)
+        return Hierarchy(levels, coarse_inv)
     if umask_j is None:
         umask_j = jnp.asarray(umask, bool)
     levels_j = ((umask_j, deg_j),) + tuple(_build_levels_device(umask_j))
+    m_c, d_c = levels_j[-1]
+    coarse_inv = (
+        _dense_coarse_inverse(m_c, d_c) if m_c.size <= _DENSE_COARSE_MAX else None
+    )
+    hier = Hierarchy(levels_j, coarse_inv)
     if len(_HIERARCHY_CACHE) > 8:
         _HIERARCHY_CACHE.clear()
-    _HIERARCHY_CACHE[key] = levels_j
-    return levels_j
+    _HIERARCHY_CACHE[key] = hier
+    return hier
 
 
 def solve(
@@ -410,11 +521,11 @@ def solve(
         deg = jax.jit(_neighbor_degree_traced, static_argnums=(0, 1))(h, w)
     # note: the hierarchy rediscretizes with full in-image degrees; a custom
     # fine-level deg only affects the fine operator
-    levels_j = _device_hierarchy(umask, deg)
+    hier = _device_hierarchy(umask, deg)
 
     pdtype = _precond_dtype_for(umask.shape)
 
-    umask_j = levels_j[0][0]
+    umask_j = hier.levels[0][0]
     deg_j = jnp.asarray(deg)
     umf = umask_j.astype(jnp.float64)
     x064 = (
@@ -431,7 +542,7 @@ def solve(
     from .fill import _fused_refine_solve
 
     x64_j, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
-        b64_j, x064, umask_j, deg_j, levels_j, jnp.float64(tolerance),
+        b64_j, x064, umask_j, deg_j, hier, jnp.float64(tolerance),
         max_iterations=max_iterations,
         refinement_steps=max(refinement_steps, 1),
         precond_dtype=pdtype, use_multigrid=True, mode="rhs",

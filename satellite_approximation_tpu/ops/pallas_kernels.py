@@ -42,13 +42,17 @@ CTILE = 2048  # interior columns per tile (multiple of 128)
 
 def _kernel_factory(
     sweeps: int,
-    omega: float,
+    omega,
     winc: int,
     n_strips: int,
     n_ctiles: int,
     channels: int,
     emit_residual: bool = False,
 ):
+    # scalar omega = classic damped Jacobi; a tuple gives each sweep its
+    # own weight (Chebyshev polynomial smoothing, models/multigrid)
+    omegas = omega if isinstance(omega, tuple) else (float(omega),) * sweeps
+    assert len(omegas) == sweeps
     def kernel(u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch):
         if emit_residual:
             out_hbm, res_hbm, su, sb, sm, sd, so, sr, sems = outs_and_scratch
@@ -98,11 +102,12 @@ def _kernel_factory(
                     + pltpu.roll(um, jnp.int32(winc - 1), 1)
                 )
 
-            def body(_, u):
+            # unrolled so each sweep can carry its own weight (Chebyshev
+            # smoothing); sweeps <= HALO_R keeps this a handful of steps
+            u = su[:, :].astype(jnp.float32)
+            for om in omegas:
                 au = deg * u - neighbor_sum(u)
-                return u + omega * (b - au) * inv
-
-            u = lax.fori_loop(0, sweeps, body, su[:, :].astype(jnp.float32))
+                u = u + om * (b - au) * inv
             so[:, :] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE].astype(
                 so.dtype
             )
@@ -144,19 +149,23 @@ def _kernel_factory(
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "omega", "emit_residual"))
 def fused_jacobi_tpu(
-    u, b, umask, deg, sweeps: int = 8, omega: float = 0.8, emit_residual: bool = False
+    u, b, umask, deg, sweeps: int = 8, omega=0.8, emit_residual: bool = False
 ):
     """K fused Jacobi sweeps (K <= HALO_R); u/b (C, H, W) f32, umask/deg (H, W).
 
     Equivalent to K applications of the XLA sweep (multigrid._smooth) —
-    validated in tests/test_pallas.py. With ``emit_residual`` (requires
-    K + 1 <= HALO_R for the extra exact ring) also returns
-    r = (b - A u) * m computed in the same VMEM window — the V-cycle's
-    post-smooth residual without another full-grid A-apply pass.
+    validated in tests/test_pallas.py. ``omega`` is either a scalar weight
+    (damped Jacobi) or a K-tuple of per-sweep weights (Chebyshev
+    smoothing). With ``emit_residual`` (requires K + 1 <= HALO_R for the
+    extra exact ring) also returns r = (b - A u) * m computed in the same
+    VMEM window — the V-cycle's post-smooth residual without another
+    full-grid A-apply pass.
     """
     assert sweeps + (1 if emit_residual else 0) <= HALO_R, (
         f"sweeps={sweeps} (+residual ring: {emit_residual}) exceeds halo {HALO_R}"
     )
+    if isinstance(omega, tuple):
+        assert len(omega) == sweeps
     c, h, w = u.shape
     hp = -(-h // STRIP) * STRIP
     wp = -(-w // CTILE) * CTILE
@@ -191,7 +200,9 @@ def fused_jacobi_tpu(
     scratch.append(pltpu.SemaphoreType.DMA((6,)))
     out = pl.pallas_call(
         _kernel_factory(
-            sweeps, float(omega), winc, n_strips, n_ctiles, c, emit_residual
+            sweeps,
+            omega if isinstance(omega, tuple) else float(omega),
+            winc, n_strips, n_ctiles, c, emit_residual,
         ),
         out_shape=(out_shape, out_shape) if emit_residual else out_shape,
         in_specs=[

@@ -31,7 +31,16 @@ def count_non_zero(a) -> int:
 
 
 def percent_non_zero(a) -> float:
-    """Fraction of non-zero entries in [0,1]. Reference utils/eigen.h:8-12."""
+    """Fraction of non-zero entries in [0,1]. Reference utils/eigen.h:8-12.
+
+    Device arrays reduce on device (one scalar crosses the link, not the
+    raster); the i64 count is exact at any raster size."""
+    if not isinstance(a, np.ndarray) and hasattr(a, "devices"):
+        import jax.numpy as jnp
+
+        if a.size == 0:
+            return 0.0
+        return float(jnp.sum(a.astype(bool).astype(jnp.int64)) / a.size)
     a = np.asarray(a)
     if a.size == 0:
         return 0.0
