@@ -91,7 +91,11 @@ def synthesize(n: int, seed: int = 7):
 
 
 def main():
+    import argparse
+    import dataclasses
+
     import satellite_approximation_tpu  # noqa: F401
+    from satellite_approximation_tpu.config import DEFAULT_DETECTION
     from satellite_approximation_tpu.models.detection.pipeline import (
         CloudParams,
         detect,
@@ -100,7 +104,22 @@ def main():
     from satellite_approximation_tpu.utils.geotiff import write_geotiff
     from satellite_approximation_tpu.utils.profiling import StageTimer
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10980
+    ap = argparse.ArgumentParser()
+    ap.add_argument("size", type=int, nargs="?", default=10980)
+    ap.add_argument(
+        "--backend", default="auto", choices=("auto", "jax"),
+        help="auto: measured big-scene routing (host-native stages on this "
+        "tunnel host); jax: every stage on device, masks cross bit-packed",
+    )
+    args = ap.parse_args()
+    n = args.size
+    config = DEFAULT_DETECTION
+    if args.backend == "jax":
+        config = dataclasses.replace(
+            config,
+            refinement=dataclasses.replace(config.refinement, backend="jax"),
+            matching=dataclasses.replace(config.matching, backend="jax"),
+        )
     inputs = synthesize(n)
 
     work = Path(tempfile.mkdtemp()) / "tile"
@@ -122,11 +141,15 @@ def main():
             p.unlink(missing_ok=True)
         timer = StageTimer()
         t0 = time.perf_counter()
-        status = detect(params, diag, use_cache=False, timer=timer, inputs=inputs)
+        status = detect(
+            params, diag, use_cache=False, timer=timer, inputs=inputs,
+            config=config,
+        )
         dt = time.perf_counter() - t0
         rows.append(
             {
                 "metric": "detect_fulltile_latency",
+                "backend": args.backend,
                 "run": "cold" if run == 0 else "warm",
                 "value": round(dt, 2),
                 "unit": "s",
