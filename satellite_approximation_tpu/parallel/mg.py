@@ -120,32 +120,41 @@ def _stencil_sharded(u, um, deg, axis_name):
     return (deg * u - s) * um
 
 
-def _smooth_sharded(u, b, um, deg, sweeps, axis_name):
+def _smooth_sharded(u, b, um, deg, omegas, axis_name):
+    """Weighted-Jacobi sweeps with ghost-row exchange per sweep — the same
+    Chebyshev weights as the single-device smoother (M._smoother_omegas),
+    so sharded and single-device preconditioners are numerically the same
+    operator (iteration-parity-tested in tests/test_parallel.py)."""
     inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * um
 
-    def body(_, u):
+    for om in omegas:
         au = _stencil_sharded(u, um, deg, axis_name)
-        return u + M._OMEGA * (b - au) * inv
+        u = u + om * (b - au) * inv
+    return u
 
-    return lax.fori_loop(0, sweeps, body, u)
 
-
-def _v_cycle_sharded(dist_local, repl_levels_j, b, u, lvl, axis_name, xdim):
+def _v_cycle_sharded(
+    dist_local, repl_levels_j, b, u, lvl, axis_name, xdim, coarse_inv=None
+):
     um, deg = dist_local[lvl]
+    pre = M._smoother_omegas(M._PRE_SMOOTH)
+    post = tuple(reversed(M._smoother_omegas(M._POST_SMOOTH)))
     if lvl == len(dist_local) - 1:
         # replicated tail: gather the residual rows onto every shard, run
         # the single-device V-cycle redundantly, slice our rows back out
-        u = _smooth_sharded(u, b, um, deg, M._PRE_SMOOTH, axis_name)
+        u = _smooth_sharded(u, b, um, deg, pre, axis_name)
         r = (b - _stencil_sharded(u, um, deg, axis_name)) * um
         r_full = lax.all_gather(r, axis_name, axis=-2, tiled=True)
-        e_full = M._v_cycle(repl_levels_j, r_full, jnp.zeros_like(r_full), 0)
+        e_full = M._v_cycle(
+            repl_levels_j, r_full, jnp.zeros_like(r_full), 0, coarse_inv
+        )
         hl = u.shape[-2]
         idx = lax.axis_index(axis_name)
         e_local = lax.dynamic_slice_in_dim(e_full, idx * hl, hl, axis=-2)
         u = u + e_local * um
-        return _smooth_sharded(u, b, um, deg, M._POST_SMOOTH, axis_name)
+        return _smooth_sharded(u, b, um, deg, post, axis_name)
 
-    u = _smooth_sharded(u, b, um, deg, M._PRE_SMOOTH, axis_name)
+    u = _smooth_sharded(u, b, um, deg, pre, axis_name)
     r = (b - _stencil_sharded(u, um, deg, axis_name)) * um
     r_c = _restrict_rows_sharded(r, axis_name)
     if r_c.shape[-1] % 2:  # odd widths pad to even, like M._restrict
@@ -154,12 +163,13 @@ def _v_cycle_sharded(dist_local, repl_levels_j, b, u, lvl, axis_name, xdim):
     um_c, _ = dist_local[lvl + 1]
     r_c = r_c * um_c
     e_c = _v_cycle_sharded(
-        dist_local, repl_levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, axis_name, xdim
+        dist_local, repl_levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, axis_name,
+        xdim, coarse_inv,
     )
     e_f = _prolong_rows_sharded(e_c, axis_name)
     e_f = M._prolong_axis(e_f, -1)[..., :, : u.shape[-1]]
     u = u + e_f * um
-    return _smooth_sharded(u, b, um, deg, M._POST_SMOOTH, axis_name)
+    return _smooth_sharded(u, b, um, deg, post, axis_name)
 
 
 def sharded_mg_solve(
@@ -204,6 +214,17 @@ def sharded_mg_solve(
         )
         for m_, d_ in repl_levels
     )
+    # dense coarse inverse for the replicated tail — the same exact coarse
+    # solve as the single-device path (models/multigrid._dense_coarse_inverse)
+    m_c, d_c = repl_levels[-1]
+    coarse_inv = (
+        jax.device_put(
+            M._dense_coarse_inverse(jnp.asarray(m_c), jnp.asarray(d_c, jnp.float32)),
+            NamedSharding(mesh, P()),
+        )
+        if m_c.size <= M._DENSE_COARSE_MAX
+        else None
+    )
 
     tol = jnp.asarray(tolerance, jnp.float32)
     n_dist = len(dist_j)
@@ -213,6 +234,7 @@ def sharded_mg_solve(
         P("b", "x", None),
         tuple((P("x", None), P("x", None)) for _ in range(n_dist)),
         tuple((P(), P()) for _ in range(len(repl_j))),
+        None if coarse_inv is None else P(),
     )
 
     @functools.partial(
@@ -221,7 +243,7 @@ def sharded_mg_solve(
         in_specs=in_specs,
         out_specs=(P("b", "x", None), P(), P("b")),
     )
-    def run(b_l, x0_l, dist_local, repl_local):
+    def run(b_l, x0_l, dist_local, repl_local, cinv):
         um0, deg0 = dist_local[0]
 
         def dots(p, q):
@@ -229,7 +251,7 @@ def sharded_mg_solve(
 
         def precond(r):
             return _v_cycle_sharded(
-                dist_local, repl_local, r, jnp.zeros_like(r), 0, "x", xdim
+                dist_local, repl_local, r, jnp.zeros_like(r), 0, "x", xdim, cinv
             )
 
         bb = b_l * um0
@@ -298,7 +320,9 @@ def sharded_mg_solve(
     for _ in range(3):
         if np.all(rnorm <= target):
             break
-        d, it, _ = solver(r64.astype(jnp.float32), jnp.zeros_like(b_p), dist_j, repl_j)
+        d, it, _ = solver(
+            r64.astype(jnp.float32), jnp.zeros_like(b_p), dist_j, repl_j, coarse_inv
+        )
         total_iters += int(it)
         x64 = x64 + d.astype(jnp.float64) * umask_p.astype(jnp.float64)
         r64, rsq = jax.jit(residual64)(b64, x64, umask_p, deg_p)
@@ -310,3 +334,61 @@ def sharded_mg_solve(
         x64 = jax.device_put(x64, NamedSharding(mesh, P("b", None, None)))
     x64 = x64[:, :h, :]
     return x64, total_iters, (rnorm / np.maximum(bnorm, 1e-300))
+
+
+def comm_volume_report(
+    h: int, w: int, c: int, xdim: int, umask: np.ndarray | None = None
+) -> dict:
+    """Analytic ICI communication volume of one sharded MG-PCG iteration —
+    the comm-side telemetry for SURVEY §2.5 P6/P7 (the artifact VERDICT r2
+    asked for alongside the iteration-parity check).
+
+    Counts, per V-cycle level: one 2-ghost-row ppermute per smoother sweep
+    (pre + post), one for the residual stencil, one each for row
+    restriction/prolongation; the replicated tail's all_gather; and the PCG
+    body's A-apply exchange + 3 scalar psums. Bytes are f32.
+    """
+    if umask is None:
+        m = np.ones((h, w), bool)
+    else:
+        m = np.asarray(umask, bool)
+    deg = neighbor_degree(m.shape)
+    (hp, wp), dist_levels, repl_levels = build_sharded_hierarchy(m, deg, xdim)
+
+    sweeps = M._PRE_SMOOTH + M._POST_SMOOTH
+    per_level = []
+    total_halo_bytes = 0
+    for lvl, (ml, _) in enumerate(dist_levels):
+        hl, wl = ml.shape
+        exchanges = sweeps + 1  # smoother sweeps + residual stencil
+        if lvl < len(dist_levels) - 1:
+            exchanges += 2  # restrict + prolong row transfers
+        halo_bytes = exchanges * 2 * wl * 4 * c  # 2 ghost rows per exchange
+        per_level.append(
+            {
+                "level_shape": [int(hl), int(wl)],
+                "halo_exchanges": int(exchanges),
+                "halo_bytes": int(halo_bytes),
+            }
+        )
+        total_halo_bytes += halo_bytes
+    tail_h, tail_w = dist_levels[-1][0].shape
+    allgather_bytes = c * tail_h * tail_w * 4 * (xdim - 1) // max(xdim, 1)
+    pcg_body_bytes = 2 * w * 4 * c + 3 * 4 * c  # A-apply halo + 3 psums
+    total = total_halo_bytes + allgather_bytes + pcg_body_bytes
+    local_rows = [int(ml.shape[0]) // xdim for ml, _ in dist_levels]
+    return {
+        "grid": [int(hp), int(wp)],
+        "bands": int(c),
+        "xdim": int(xdim),
+        "distributed_levels": len(dist_levels),
+        "replicated_levels": len(repl_levels),
+        "local_rows_per_level": local_rows,
+        "per_level": per_level,
+        "tail_allgather_bytes": int(allgather_bytes),
+        "bytes_per_pcg_iteration": int(total),
+        "compute_bytes_per_iteration_per_shard": int(
+            # every level's smoother reads/writes ~5 arrays per sweep
+            sum(5 * 4 * c * (ml.size // xdim) * sweeps for ml, _ in dist_levels)
+        ),
+    }

@@ -204,3 +204,66 @@ class TestShardedFill:
             refinement_steps=4, device_output=False,
         )
         np.testing.assert_allclose(filled, np.asarray(ref.x), atol=5e-5)
+
+
+class TestShardedStencils:
+    """Sharded forms of the two reference GPU kernels (parallel/stencils)."""
+
+    def test_blur_bit_identical(self, mesh):
+        from satellite_approximation_tpu.ops.blur import gaussian_blur
+        from satellite_approximation_tpu.parallel.stencils import sharded_gaussian_blur
+
+        rng = np.random.default_rng(3)
+        for sigma, shape in ((4.0, (128, 96)), (1.0, (2, 64, 80))):
+            img = rng.random(shape).astype(np.float32)
+            want = np.asarray(gaussian_blur(jnp.asarray(img), sigma))
+            got = np.asarray(sharded_gaussian_blur(img, sigma, mesh))
+            np.testing.assert_array_equal(got, want)
+
+    def test_blur_rejects_too_few_rows(self, mesh):
+        from satellite_approximation_tpu.parallel.stencils import sharded_gaussian_blur
+
+        with pytest.raises(ValueError):
+            sharded_gaussian_blur(np.zeros((16, 32), np.float32), 4.0, mesh)
+
+    def test_pit_fill_bit_identical(self, mesh):
+        from satellite_approximation_tpu.ops.pitfill import pit_fill
+        from satellite_approximation_tpu.parallel.stencils import sharded_pit_fill
+
+        rng = np.random.default_rng(4)
+        img = rng.random((64, 56)).astype(np.float32)
+        img[20:30, 20:30] -= 0.5  # a deep pit spanning shard boundaries
+        want = np.asarray(pit_fill(jnp.asarray(img), 0.3))
+        got = np.asarray(sharded_pit_fill(img, 0.3, mesh))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestShardingConvergenceParity:
+    def test_iteration_count_independent_of_sharding(self):
+        """Spatial sharding must not change the numerics: the sharded MG-PCG
+        at xdim=4 runs the same operator as xdim=1 (same Chebyshev weights,
+        same replicated tail, same dense coarse solve), so iteration counts
+        and residuals must match exactly (SURVEY §2.5 P6)."""
+        from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+        from satellite_approximation_tpu.parallel.mg import sharded_mg_solve
+
+        rng = np.random.default_rng(5)
+        h, w, c = 128, 96, 2
+        umask = np.zeros((h, w), bool)
+        umask[16:112, 10:86] = True
+        b = (rng.random((c, h, w)) * umask).astype(np.float32)
+        x0 = np.zeros_like(b)
+
+        results = {}
+        for xdim in (1, 4):
+            mesh = spatial_band_mesh(2 * xdim, shape=(2, xdim))
+            x, iters, rel = sharded_mg_solve(
+                b, x0, umask, None, mesh, tolerance=1e-6, max_iterations=200
+            )
+            results[xdim] = (np.asarray(x), int(iters), np.asarray(rel))
+        assert results[1][1] == results[4][1], (
+            f"iteration counts differ across sharding: {results[1][1]} vs "
+            f"{results[4][1]}"
+        )
+        assert np.all(results[4][2] <= 1e-6)
+        np.testing.assert_allclose(results[1][0], results[4][0], atol=1e-8)
