@@ -38,7 +38,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 REF_SCENE = Path("/root/reference/test_data/2019-05-22")
-RESULTS = REPO / "benchmarks" / "results_r02.json"
+RESULTS = REPO / "benchmarks" / "results_r03.json"
 
 
 def _assemble_rhs(known_chw, umask):
@@ -306,7 +306,48 @@ def config5():
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6():
+    """Full-tile detection, BOTH routings: the measured big-scene auto
+    route (host-native stages on this tunnel host) and the all-device
+    backend=jax route (bit-packed mask transfers) — the per-backend rows
+    VERDICT r2 asked for."""
+    rows = []
+    for backend in ("auto", "jax"):
+        out = subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "benchmarks" / "bench_detect_fulltile.py"),
+                "10980", "--backend", backend,
+            ],
+            capture_output=True, text=True, timeout=3600, check=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rows.append(json.loads(line))
+    return {"config": 6, "name": "fulltile_10980_detection", "runs": rows}
+
+
+def config7():
+    """Roofline telemetry rows (utils/roofline): achieved HBM GB/s and
+    pct-of-peak for the smoother, A-apply, V-cycle and marginal PCG
+    iteration at 2048^2 and 10980^2."""
+    out = subprocess.run(
+        [
+            sys.executable, str(REPO / "benchmarks" / "roofline.py"),
+            "--full-tile",
+        ],
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
+    payload = json.loads(out.stdout[out.stdout.index("{"):])
+    payload["config"] = 7
+    payload["name"] = "roofline_telemetry"
+    return payload
+
+
+CONFIGS = {
+    1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+    6: config6, 7: config7,
+}
 
 
 def main():
@@ -323,9 +364,9 @@ def main():
         print(json.dumps(CONFIGS[args.config]()))
         return
     if args.config and args.update:
-        doc = json.loads(args.out.read_text()) if args.out.exists() else {"round": 2, "rows": []}
-        if args.config == 4:
-            row = config4()
+        doc = json.loads(args.out.read_text()) if args.out.exists() else {"round": 3, "rows": []}
+        if args.config in (4, 6, 7):
+            row = CONFIGS[args.config]()
         else:
             out = subprocess.run(
                 [sys.executable, str(Path(__file__).resolve()), "--config", str(args.config)],
@@ -342,8 +383,8 @@ def main():
     rows = []
     for n in sorted(CONFIGS):
         print(f"# config {n}...", file=sys.stderr, flush=True)
-        if n == 4:
-            rows.append(config4())  # already subprocess-per-run
+        if n in (4, 6, 7):
+            rows.append(CONFIGS[n]())  # already subprocess-per-run
             continue
         out = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()), "--config", str(n)],
@@ -356,7 +397,7 @@ def main():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rows.append(json.loads(line))
         print(f"#   {line}", file=sys.stderr, flush=True)
-    args.out.write_text(json.dumps({"round": 2, "rows": rows}, indent=2) + "\n")
+    args.out.write_text(json.dumps({"round": 3, "rows": rows}, indent=2) + "\n")
     print(f"# wrote {args.out}", file=sys.stderr)
 
 

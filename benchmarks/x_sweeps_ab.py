@@ -43,6 +43,9 @@ def main():
     for sweeps in (6, 4, 3):
         multigrid._PRE_SMOOTH = sweeps
         multigrid._POST_SMOOTH = sweeps
+        # the sweep count is baked into the trace, not a static jit arg —
+        # drop every cached executable so each setting really recompiles
+        jax.clear_caches()
         def solve():
             res = multigrid.solve(
                 b_j, umask, deg=deg, x0=x0_j, tolerance=1e-6,

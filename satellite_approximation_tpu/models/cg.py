@@ -230,8 +230,10 @@ def solve_masked_poisson(
         x = np.zeros(b64_j.shape)
         return CGResult(x[0] if squeeze else x, 0, 0.0)
 
-    umask_j = jnp.asarray(umask_np)
-    deg_j = jnp.asarray(deg, dtype=jnp.float32)
+    from .multigrid import device_constant
+
+    umask_j = device_constant(umask_np)
+    deg_j = device_constant(deg).astype(jnp.float32)
 
     umf = umask_j.astype(jnp.float64)
     x064 = (
@@ -251,9 +253,9 @@ def solve_masked_poisson(
         refinement_steps=max(refinement_steps, 1),
         precond_dtype=jnp.float32, use_multigrid=False, mode="rhs",
     )
-    rnorm = np.asarray(rnorm_j)
-    bnorm = np.asarray(bnorm_j)
-    total_iters = int(iters_j)
+    # ONE batched fetch: separate np.asarray calls each pay a link RTT
+    iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
+    total_iters = int(iters_v)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
     if device_output:

@@ -266,7 +266,10 @@ def laplace_fill(
             if squeeze:
                 rep32 = rep32[None]
     mode = "laplace" if replacement is None else "poisson"
-    umask_j = jnp.asarray(umask, bool)
+    # dedup repeated mask uploads (multi-date fills reuse one cloud mask)
+    umask_j = multigrid.device_constant(
+        umask if isinstance(umask, np.ndarray) else jnp.asarray(umask, bool)
+    ).astype(bool)
 
     c, h, w = img32.shape
     limit = max_chunk_elements or multigrid_chunk_limit()
@@ -346,9 +349,9 @@ def laplace_fill(
             use_multigrid=use_multigrid,
             mode=mode,
         )
-        rnorm = _np.asarray(rnorm_j)
-        bnorm = _np.asarray(bnorm_j)
-        total_iters += int(iters_j)
+        # ONE batched fetch: separate np.asarray calls each pay a link RTT
+        iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
+        total_iters += int(iters_v)
         err = max(err, float(_np.max(rnorm / _np.maximum(bnorm, 1e-300))))
         solve_s += _time.perf_counter() - t_solve0
         if masked_values_output:

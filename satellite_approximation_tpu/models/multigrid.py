@@ -458,6 +458,27 @@ _pcg_run = functools.partial(
 # benchmarks) reuse the uploaded hierarchy — re-uploading ~20MB of level
 # masks per call is real money on tunneled-TPU hosts
 _HIERARCHY_CACHE: dict = {}
+_CONST_CACHE: dict = {}
+
+
+def device_constant(arr) -> jnp.ndarray:
+    """Upload a host array once and reuse the device copy on repeated
+    calls with equal content. A full-tile f32 ``deg`` raster is 480 MB of
+    H2D per solve on a tunneled host if re-uploaded; even at 2048^2 the
+    16 MB re-upload dominated the per-solve overhead (measured: the
+    13-band bench solve was ~0.8 s of fixed cost around ~45 ms of PCG
+    iterations). Device arrays pass through untouched."""
+    if not isinstance(arr, np.ndarray):
+        return jnp.asarray(arr)
+    key = (arr.shape, str(arr.dtype), hash(arr.tobytes()))
+    cached = _CONST_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if len(_CONST_CACHE) > 16:
+        _CONST_CACHE.clear()
+    val = jnp.asarray(arr)
+    _CONST_CACHE[key] = val
+    return val
 
 
 def _device_hierarchy(umask, deg) -> Hierarchy:
@@ -472,7 +493,7 @@ def _device_hierarchy(umask, deg) -> Hierarchy:
         umask_j = umask
         fp = _mask_fingerprint_device(umask_j)
         key = (umask_j.shape,) + tuple(float(s) for s in fp)
-    deg_j = jnp.asarray(deg, jnp.float32)
+    deg_j = device_constant(deg).astype(jnp.float32)
     cached = _HIERARCHY_CACHE.get(key)
     if cached is not None:
         # coarse levels depend on the mask alone; level 0 carries the
@@ -526,7 +547,7 @@ def solve(
     pdtype = _precond_dtype_for(umask.shape)
 
     umask_j = hier.levels[0][0]
-    deg_j = jnp.asarray(deg)
+    deg_j = device_constant(deg)
     umf = umask_j.astype(jnp.float64)
     x064 = (
         jnp.zeros(b64_j.shape, jnp.float64)
@@ -547,9 +568,9 @@ def solve(
         refinement_steps=max(refinement_steps, 1),
         precond_dtype=pdtype, use_multigrid=True, mode="rhs",
     )
-    rnorm = np.asarray(rnorm_j)
-    bnorm = np.asarray(bnorm_j)
-    total_iters = int(iters_j)
+    # ONE batched fetch: separate np.asarray calls each pay a link RTT
+    iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
+    total_iters = int(iters_v)
 
     rel = float(np.max(rnorm / np.maximum(bnorm, 1e-300)))
     if device_output:
