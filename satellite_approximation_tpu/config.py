@@ -59,6 +59,10 @@ class MatchingConfig:
     #   call on CPU-attached or tunneled hosts), else the device sweep.
     # "native" / "jax": force one backend (equality-tested pair).
     backend: str = "auto"
+    # device sweep: heights per dispatched program (473 total). Bounds
+    # single-program runtime below accelerator watchdog limits at
+    # full-tile bucket sizes; chunking costs one host concat.
+    jax_height_chunk: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

@@ -377,25 +377,40 @@ def match_clouds_shadows(
             buckets.setdefault(key, []).append(k)
 
         heights_f32 = height_sweep(config)
+        nh = len(heights_f32)
         for (wb, hb), members in buckets.items():
             sel = np.asarray(members)
             ids = jnp.asarray([clouds[k].id for k in sel], jnp.int32)
-            args = dict(
-                min_x=jnp.asarray(mnx[sel].T, jnp.int32),
-                min_y=jnp.asarray(mny[sel].T, jnp.int32),
-                max_x=jnp.asarray(mxx[sel].T, jnp.int32),
-                max_y=jnp.asarray(mxy[sel].T, jnp.int32),
-                a2=jnp.asarray(np.swapaxes(a2[sel], 0, 1), jnp.float32),
-                delta=jnp.asarray(np.swapaxes(delta[sel], 0, 1), jnp.float32),
-            )
             with timer.stage(f"matching/sweep {wb}x{hb} n={len(sel)}"):
-                sims = np.asarray(
-                    _bucket_sweep(
-                        cmask_j, psm_j, cmap_j, ids, **args,
-                        wb=wb, hb=hb, width=wdt, height=hgt,
-                        min_support=config.min_support_pixels,
+                # the height scan is chunked into separately dispatched
+                # programs: one program scanning all 473 heights over a
+                # big-window bucket can exceed accelerator watchdog limits
+                # (tunneled runtimes kill ~60 s programs), and chunking
+                # costs only a host concat
+                ch = max(int(config.jax_height_chunk), 1)
+                parts = []
+                for h0 in range(0, nh, ch):
+                    h1 = min(h0 + ch, nh)
+                    args = dict(
+                        min_x=jnp.asarray(mnx[sel].T[h0:h1], jnp.int32),
+                        min_y=jnp.asarray(mny[sel].T[h0:h1], jnp.int32),
+                        max_x=jnp.asarray(mxx[sel].T[h0:h1], jnp.int32),
+                        max_y=jnp.asarray(mxy[sel].T[h0:h1], jnp.int32),
+                        a2=jnp.asarray(np.swapaxes(a2[sel], 0, 1)[h0:h1], jnp.float32),
+                        delta=jnp.asarray(
+                            np.swapaxes(delta[sel], 0, 1)[h0:h1], jnp.float32
+                        ),
                     )
-                )  # (Nh, Nsel)
+                    parts.append(
+                        np.asarray(
+                            _bucket_sweep(
+                                cmask_j, psm_j, cmap_j, ids, **args,
+                                wb=wb, hb=hb, width=wdt, height=hgt,
+                                min_support=config.min_support_pixels,
+                            )
+                        )
+                    )
+                sims = np.concatenate(parts, axis=0)  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
             best_sim = sims[best_idx, np.arange(len(sel))]
 
