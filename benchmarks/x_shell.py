@@ -24,6 +24,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench
 
 
+# NOTE: on this tunneled runtime block_until_ready returns immediately
+# (measured: 0.2 ms for a ~5 ms program); only a VALUE fetch synchronizes.
+# Every timed callable therefore ends in a float() materialization — one
+# ~25 ms RTT, constant, removed by differencing.
+
+
 def timeit(label, fn, n=5):
     fn()
     ts = []
@@ -68,12 +74,13 @@ def main():
 
     # A: PCG shell, 0 iterations
     def pcg(k):
-        return lambda: jax.block_until_ready(
-            multigrid._pcg_run(
+        def run():
+            out = multigrid._pcg_run(
                 r32, z32, jnp.asarray(1e-30, jnp.float32), hier,
                 max_iterations=k, precond_dtype=pdtype,
             )
-        )
+            return float(jnp.sum(out[0][..., ::499, ::499]))
+        return run
     tA0 = timeit("A: _pcg_run k=0 (shell: residual+precond+dots)", pcg(0))
     tA4 = timeit("A: _pcg_run k=4", pcg(4))
     print(f"   -> marginal PCG iteration: {(tA4 - tA0)/4*1e3:.2f} ms")
@@ -87,40 +94,35 @@ def main():
                 max_iterations=2, refinement_steps=steps,
                 precond_dtype=pdtype, use_multigrid=True, mode="rhs",
             )
-            return jax.block_until_ready(out)
+            return float(jnp.sum(out[0][..., ::499, ::499]))
         return run
     tB1 = timeit("B: _fused_refine_solve 1 pass (2 PCG iters)", frs(1))
     tB3 = timeit("B: _fused_refine_solve 3 passes", frs(3))
     print(f"   -> per refinement pass: {(tB3 - tB1)/2*1e3:.2f} ms")
 
-    # C: f64 residual pass alone, chained
-    @jax.jit
-    def resid_chain(x64):
+    # C: f64 residual pass alone, chained (b passed as an ARGUMENT —
+    # captured as a closure constant it gets inlined into the program and
+    # the remote compile rejects the 436 MB request body)
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def resid_chain(x64, bb_j, k):
         um64 = um_j.astype(jnp.float64)
         deg64 = deg_j.astype(jnp.float64)
 
         def body(_, x):
-            bb = shift_sum(b_j * (1.0 - um64)) * um64
+            bb = shift_sum(bb_j * (1.0 - um64)) * um64
             ax = (deg64 * x - shift_sum(x)) * um64
             return x + 1e-300 * (bb - ax)
-        return lax.fori_loop(0, 8, body, x64)
+        return lax.fori_loop(0, k, body, x64)
 
-    @jax.jit
-    def resid_chain2(x64):
-        um64 = um_j.astype(jnp.float64)
-        deg64 = deg_j.astype(jnp.float64)
-
-        def body(_, x):
-            bb = shift_sum(b_j * (1.0 - um64)) * um64
-            ax = (deg64 * x - shift_sum(x)) * um64
-            return x + 1e-300 * (bb - ax)
-        return lax.fori_loop(0, 2, body, x64)
-
-    f8 = lambda: jax.block_until_ready(resid_chain(x0_j))
-    f2 = lambda: jax.block_until_ready(resid_chain2(x0_j))
-    f8(); f2()
-    t8 = timeit("C: 8 chained f64 residual passes", f8)
-    t2 = timeit("C: 2 chained f64 residual passes", f2)
+    def fC(k):
+        def run():
+            out = resid_chain(x0_j, b_j, k=k)
+            return float(jnp.sum(out[..., ::499, ::499]))
+        return run
+    t8 = timeit("C: 8 chained f64 residual passes", fC(8))
+    t2 = timeit("C: 2 chained f64 residual passes", fC(2))
     print(f"   -> per f64 residual pass: {(t8 - t2)/6*1e3:.2f} ms")
 
     # D: end-to-end
