@@ -157,6 +157,13 @@ def main():
                 "mpix_per_s": round(n * n / dt / 1e6, 2),
                 "percent_clouds": round(status.percent_clouds, 4),
                 "percent_shadows": round(status.percent_shadows or 0.0, 4),
+                # per-stage breakdown so the artifact shows where each
+                # backend spends its time (device vs host routing); repeated
+                # stage names (per-band loops) accumulate
+                "stages_s": {
+                    name: round(sum(t for n_, t in timer.stages if n_ == name), 2)
+                    for name in dict.fromkeys(n_ for n_, _ in timer.stages)
+                },
             }
         )
         print(json.dumps(rows[-1]), flush=True)
