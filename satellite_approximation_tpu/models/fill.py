@@ -10,7 +10,7 @@ at 10980^2) but by H2D transfers of host-assembled f64 right-hand sides
     b = shift_sum(known) in f64    \
     x0 = image * mask              |   all on-device, exact
     deg = in-image neighbour count /
-    mask hierarchy: 2x2 any-pool ladder, on device
+    mask hierarchy: 2x2 all-pool ladder, on device
 
 so the only per-band transfer is the f32 image data itself — and none at
 all when the image is already device-resident (e.g. produced by the

@@ -8,14 +8,26 @@ the cost O(N) regardless of region size — the decisive step toward the
 
 Design (fully jittable, static shapes):
 
-* hierarchy: unknown masks coarsen by 2x2 any-pooling (stopping before the
-  Dirichlet anchoring would vanish), so irregular cloud masks keep their
-  boundary to within O(h) per level;
+* hierarchy: unknown masks coarsen by 2x2 ALL-pooling — a coarse cell is
+  unknown only when its whole 2x2 fine block is. Any-pooling (the obvious
+  choice) grows every unknown blob by ~1 cell per level, so the
+  rediscretized coarse operator under-anchors the Dirichlet boundary and
+  the coarse correction overshoots small blobs by (1+2/rho)^2 — measured
+  DIVERGENT as a stationary iteration (ratio 1.6-2.4, benchmarks/
+  x_vcontraction.py). All-pooling shrinks blobs instead: corrections are
+  conservative ((1-2/rho)^2 < 1, never divergent) and structures too thin
+  to survive coarsening are exactly the ones the smoother already handles
+  (2-3 PCG iterations on crack/scanline masks, benchmarks/x_thinmask.py).
+  Measured at 2048^2 (benchmarks/x_coarsen_ab.py): 5 vs 7 PCG iterations
+  to 1e-4, 7 vs 12 to 3e-7;
 * operator on every level is the rediscretized masked 5-point stencil
   (deg*u - sum of unknown neighbours); grid-h factors cancel because
-  restriction is full weighting with per-axis weight 2 and prolongation is
-  its exact transpose (cell-centred bilinear), keeping the V-cycle
-  symmetric;
+  restriction is a 2x2 block sum (amplification 4 = the coarse operator's
+  4x symbol growth) and prolongation is its exact transpose (piecewise-
+  constant block broadcast), keeping the V-cycle symmetric. Block
+  transfers measured another iteration off (4 @1e-4, benchmarks/
+  x_blocktransfer.py) AND avoid the separable bilinear transfers' XLA
+  lane-relayout cost (47 ms of a 183 ms full-tile PCG iteration);
 * smoother: damped Jacobi (w=0.8), same count pre/post → the V-cycle is an
   (approximately) SPD preconditioner, wrapped in *flexible* PCG
   (Polak-Ribiere beta) to absorb the coarse-level CG's nonlinearity; on TPU
@@ -97,28 +109,31 @@ def _neighbor_degree_traced(h: int, w: int) -> jnp.ndarray:
     return 4.0 - edge
 
 
-def _anypool(m: jnp.ndarray) -> jnp.ndarray:
+def _allpool(m: jnp.ndarray) -> jnp.ndarray:
     # strided slices, not reshape-to-(h/2,2,w/2,2): the 4-D reshape
-    # materializes a badly-laid-out temporary on TPU at full-tile scale
+    # materializes a badly-laid-out temporary on TPU at full-tile scale.
+    # Padding cells are False, so border blocks straddling the pad are
+    # known — consistent with "shrink toward the Dirichlet anchor".
     h, w = m.shape
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     mp = jnp.pad(m, ((0, ph - h), (0, pw - w)))
-    return (mp[0::2, 0::2] | mp[0::2, 1::2]) | (mp[1::2, 0::2] | mp[1::2, 1::2])
+    return (mp[0::2, 0::2] & mp[0::2, 1::2]) & (mp[1::2, 0::2] & mp[1::2, 1::2])
 
 
 @jax.jit
 def _build_levels_device(m0: jnp.ndarray):
     """Coarse (umask, deg) levels computed entirely on device — the exact
     device analog of :func:`build_hierarchy` minus level 0 (which keeps the
-    caller's mask/deg). The saturation rule (any-pooling swallowing every
-    known cell → deg=4 ladder) folds into a traced flag instead of a host
-    branch: once saturated, any-pool keeps the mask all-true by itself, so
-    only the degree choice needs the flag."""
+    caller's mask/deg). The saturation rule (a level with NO known cells →
+    deg=4 ladder, i.e. implicit exterior Dirichlet) folds into a traced
+    flag instead of a host branch; with all-pooling it can only trigger
+    when the input mask itself is all-unknown (the mask never grows), but
+    that degenerate input must not produce a singular coarse operator."""
     out = []
     m = m0
     sat = jnp.asarray(False)
     while min(m.shape) > _MIN_SIZE:
-        m2 = _anypool(m)
+        m2 = _allpool(m)
         sat = jnp.logical_or(sat, m2.all())
         h2, w2 = m2.shape
         deg2 = jnp.where(
@@ -146,8 +161,9 @@ def _mask_fingerprint_device(m: jnp.ndarray):
 
 def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
     """List of (umask, deg) per level, finest first. Coarse unknowns are
-    2x2 any-pools of fine unknowns; degrees are the in-image neighbour
-    counts of the coarse grid (the rediscretized operator)."""
+    2x2 ALL-pools of fine unknowns (see the module docstring for why
+    any-pooling diverges); degrees are the in-image neighbour counts of
+    the coarse grid (the rediscretized operator)."""
     levels = [(np.asarray(umask, bool), np.asarray(deg, np.float32))]
     m = np.asarray(umask, bool)
     while min(m.shape) > _MIN_SIZE:
@@ -155,15 +171,15 @@ def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
         ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
         mp = np.zeros((ph, pw), dtype=bool)
         mp[:h, :w] = m
-        pooled = mp.reshape(ph // 2, 2, pw // 2, 2).any(axis=(1, 3))
+        pooled = mp.reshape(ph // 2, 2, pw // 2, 2).all(axis=(1, 3))
         if pooled.all():
-            # any-pooling swallowed every known cell. With in-image-neighbour
-            # degrees the operator would turn singular (pure-Neumann graph
-            # Laplacian); but at this point the fine level's known cells lie
-            # within one coarse cell of the image border, so continue
-            # coarsening with deg=4 everywhere — an implicit zero-Dirichlet
-            # just outside the image, the right boundary approximation for
-            # the error equation and plenty for a preconditioner.
+            # no known cell survives (only possible when the input mask is
+            # itself all-unknown — all-pooling never grows the mask). With
+            # in-image-neighbour degrees the operator would turn singular
+            # (pure-Neumann graph Laplacian); continue coarsening with
+            # deg=4 everywhere — an implicit zero-Dirichlet just outside
+            # the image, the right boundary approximation for the error
+            # equation and plenty for a preconditioner.
             m = pooled
             while True:
                 levels.append((m, np.full(m.shape, 4.0, dtype=np.float32)))
@@ -277,51 +293,31 @@ def _smooth_residual(u, b, um, deg, omegas: tuple):
     return u, r
 
 
-def _prolong_axis(e, axis):
-    """Cell-centred bilinear interpolation along one axis (factor 2):
-    f[2i] = .75 e[i] + .25 e[i-1]; f[2i+1] = .75 e[i] + .25 e[i+1]
-    (zero beyond the ends — masks kill the boundary error anyway)."""
-    e = jnp.moveaxis(e, axis, -1)
-    left = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(1, 0)])[..., :-1]
-    right = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(0, 1)])[..., 1:]
-    even = 0.75 * e + 0.25 * left
-    odd = 0.75 * e + 0.25 * right
-    out = jnp.stack([even, odd], axis=-1).reshape(*e.shape[:-1], 2 * e.shape[-1])
-    return jnp.moveaxis(out, -1, axis)
-
-
-def _restrict_axis(r, axis):
-    """Exact transpose of :func:`_prolong_axis` (full weighting x2):
-    r_c[i] = .25 r[2i-1] + .75 r[2i] + .75 r[2i+1] + .25 r[2i+2]."""
-    r = jnp.moveaxis(r, axis, -1)
-    n = r.shape[-1]
-    pad = [(0, 0)] * (r.ndim - 1) + [(1, 2)]
-    rp = jnp.pad(r, pad)  # rp[k] = r[k-1]
-    c = n // 2
-    # strided slices (NOT index arrays — those lower to TPU gathers):
-    # out[i] = .25 rp[2i] + .75 rp[2i+1] + .75 rp[2i+2] + .25 rp[2i+3]
-    out = (
-        0.25 * rp[..., 0 : 2 * c : 2]
-        + 0.75 * rp[..., 1 : 2 * c + 1 : 2]
-        + 0.75 * rp[..., 2 : 2 * c + 2 : 2]
-        + 0.25 * rp[..., 3 : 2 * c + 3 : 2]
-    )
-    return jnp.moveaxis(out, -1, axis)
-
-
 def _restrict(r):
-    """R = P^T: separable full weighting to the 2x-coarser grid, after
-    padding odd sizes up to even."""
+    """R = P^T: 2x2 block sum to the coarser grid (piecewise-constant
+    transfers), after padding odd sizes up to even.
+
+    The block sum's amplification of a smooth mode is 4, exactly matching
+    the rediscretized coarse operator's 4x symbol growth, so corrections
+    come back correctly scaled (same cancellation the previous separable
+    full-weighting scheme had). Chosen over bilinear/full-weighting on
+    measurement: one PCG iteration FEWER to 1e-4 with all-pool coarsening
+    (benchmarks/x_blocktransfer.py) and none of the lane-dim strided
+    relayouts that made the separable transfers cost 47 ms of a 183 ms
+    full-tile PCG iteration (15x their HBM traffic bound)."""
     h, w = r.shape[-2], r.shape[-1]
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     pad = [(0, 0)] * (r.ndim - 2) + [(0, ph - h), (0, pw - w)]
     rp = jnp.pad(r, pad)
-    return _restrict_axis(_restrict_axis(rp, -1), -2)
+    # rows first, then columns — the same grouping the sharded path
+    # (parallel/mg.py) composes, so both sum bit-identically in f32
+    rows = rp[..., 0::2, :] + rp[..., 1::2, :]
+    return rows[..., :, 0::2] + rows[..., :, 1::2]
 
 
 def _prolong(e, fine_shape):
-    """Separable bilinear interpolation back to the fine grid."""
-    up = _prolong_axis(_prolong_axis(e, -2), -1)
+    """P = R^T: piecewise-constant block broadcast back to the fine grid."""
+    up = jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
     return up[..., : fine_shape[-2], : fine_shape[-1]]
 
 
@@ -338,10 +334,10 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None):
             e = (rb @ coarse_inv.T).astype(u.dtype).reshape(r.shape)
             return u + e * um.astype(u.dtype)
         # coarsest without a dense inverse (oversized coarse grids only):
-        # plain CG, budgeted by the coarse grid's diameter (when
-        # any-pooling saturates the mask early, the coarsest level can be
-        # large and nearly all-unknown — a fixed budget starves it and the
-        # whole preconditioner collapses)
+        # plain CG, budgeted by the coarse grid's diameter (an all-unknown
+        # input mask keeps every level saturated, so the coarsest level can
+        # be large and nearly all-unknown — a fixed budget starves it and
+        # the whole preconditioner collapses)
         coarse_iters = max(_COARSE_ITERS, 4 * max(um.shape))
         r = (b - masked_laplacian(u, um, deg)) * um
 

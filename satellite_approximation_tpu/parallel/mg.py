@@ -1,9 +1,13 @@
 """Sharded geometric multigrid: the multi-chip form of models/multigrid.py.
 
 Image rows shard over the mesh's 'x' axis; bands over 'b'. Fine levels run
-*distributed*: Jacobi smoothing, residuals, and the bilinear/full-weighting
-transfers all consume one ghost row from each neighbouring shard
-(``ppermute`` over ICI). Once a level's per-shard row count gets too small
+*distributed*: Jacobi smoothing and residual stencils consume one ghost row
+from each neighbouring shard (``ppermute`` over ICI); the piecewise-constant
+block transfers are halo-FREE — every 2x2 block lives inside one shard
+because per-level row counts stay divisible by the shard count, so
+restriction and prolongation are purely local (vs. the previous bilinear
+transfers, which exchanged a ghost row each way per level).
+Once a level's per-shard row count gets too small
 for useful parallelism, the remaining coarse levels are *replicated*: one
 ``all_gather`` pulls the coarse residual onto every shard, the coarse
 V-cycle tail runs redundantly (cheap — the arrays are tiny), and each shard
@@ -67,7 +71,9 @@ def build_sharded_hierarchy(umask: np.ndarray, deg: np.ndarray, xdim: int):
         pw = (cw + 1) // 2 * 2
         tmp = np.zeros((ch, pw), dtype=bool)
         tmp[:, :cw] = cur
-        pooled = tmp.reshape(ch // 2, 2, pw // 2, 2).any(axis=(1, 3))
+        # 2x2 ALL-pooling, matching models/multigrid.build_hierarchy (see
+        # its module docstring: any-pooling makes the V-cycle divergent)
+        pooled = tmp.reshape(ch // 2, 2, pw // 2, 2).all(axis=(1, 3))
         if pooled.all():
             break
         cur = pooled
@@ -77,31 +83,20 @@ def build_sharded_hierarchy(umask: np.ndarray, deg: np.ndarray, xdim: int):
     return (hp, w), dist_levels, repl_levels
 
 
-def _restrict_rows_sharded(r, axis_name):
-    """Full-weighting row restriction with ghost rows from neighbours:
-    out[i] = .25 f[2i-1] + .75 f[2i] + .75 f[2i+1] + .25 f[2i+2] in global
-    indices; local blocks stay aligned because every level's rows divide
-    evenly across shards."""
-    rp = halo_pad_rows(r, axis_name)  # (..., Hl+2, W); rp[k] = f[k-1]
+def _restrict_rows_sharded(r):
+    """Piecewise-constant row restriction: out[i] = f[2i] + f[2i+1]. Every
+    2-row block lives inside one shard (per-level rows divide evenly across
+    shards), so this is halo-free and bit-identical to the single-device
+    block sum's row pass."""
     hl = r.shape[-2]
-    c = hl // 2
-    out = (
-        0.25 * rp[..., 0 : 2 * c : 2, :]
-        + 0.75 * rp[..., 1 : 2 * c + 1 : 2, :]
-        + 0.75 * rp[..., 2 : 2 * c + 2 : 2, :]
-        + 0.25 * rp[..., 3 : 2 * c + 3 : 2, :]
-    )
-    return out
+    return r[..., 0:hl:2, :] + r[..., 1:hl:2, :]
 
 
-def _prolong_rows_sharded(e, axis_name):
-    """Transpose of :func:`_restrict_rows_sharded`: cell-centred bilinear
-    row interpolation with one ghost coarse row per side."""
-    ep = halo_pad_rows(e, axis_name)  # (..., Hc+2, W); ep[k] = c[k-1]
+def _prolong_rows_sharded(e):
+    """Transpose of :func:`_restrict_rows_sharded`: block broadcast of each
+    coarse row to its two fine rows — local, no ghost rows."""
     hc = e.shape[-2]
-    even = 0.75 * ep[..., 1 : hc + 1, :] + 0.25 * ep[..., 0:hc, :]
-    odd = 0.75 * ep[..., 1 : hc + 1, :] + 0.25 * ep[..., 2 : hc + 2, :]
-    stacked = jnp.stack([even, odd], axis=-2)  # (..., Hc, 2, W)
+    stacked = jnp.stack([e, e], axis=-2)  # (..., Hc, 2, W)
     return stacked.reshape(*e.shape[:-2], 2 * hc, e.shape[-1])
 
 
@@ -156,18 +151,18 @@ def _v_cycle_sharded(
 
     u = _smooth_sharded(u, b, um, deg, pre, axis_name)
     r = (b - _stencil_sharded(u, um, deg, axis_name)) * um
-    r_c = _restrict_rows_sharded(r, axis_name)
+    r_c = _restrict_rows_sharded(r)
     if r_c.shape[-1] % 2:  # odd widths pad to even, like M._restrict
         r_c = jnp.pad(r_c, [(0, 0)] * (r_c.ndim - 1) + [(0, 1)])
-    r_c = M._restrict_axis(r_c, -1)
+    r_c = r_c[..., :, 0::2] + r_c[..., :, 1::2]  # column block sum
     um_c, _ = dist_local[lvl + 1]
     r_c = r_c * um_c
     e_c = _v_cycle_sharded(
         dist_local, repl_levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, axis_name,
         xdim, coarse_inv,
     )
-    e_f = _prolong_rows_sharded(e_c, axis_name)
-    e_f = M._prolong_axis(e_f, -1)[..., :, : u.shape[-1]]
+    e_f = _prolong_rows_sharded(e_c)
+    e_f = jnp.repeat(e_f, 2, axis=-1)[..., :, : u.shape[-1]]
     u = u + e_f * um
     return _smooth_sharded(u, b, um, deg, post, axis_name)
 
@@ -344,9 +339,10 @@ def comm_volume_report(
     asked for alongside the iteration-parity check).
 
     Counts, per V-cycle level: one 2-ghost-row ppermute per smoother sweep
-    (pre + post), one for the residual stencil, one each for row
-    restriction/prolongation; the replicated tail's all_gather; and the PCG
-    body's A-apply exchange + 3 scalar psums. Bytes are f32.
+    (pre + post) and one for the residual stencil; the piecewise-constant
+    block transfers are halo-free (each 2x2 block lives inside one shard).
+    Plus the replicated tail's all_gather and the PCG body's A-apply
+    exchange + 3 scalar psums. Bytes are f32.
     """
     if umask is None:
         m = np.ones((h, w), bool)
@@ -361,8 +357,7 @@ def comm_volume_report(
     for lvl, (ml, _) in enumerate(dist_levels):
         hl, wl = ml.shape
         exchanges = sweeps + 1  # smoother sweeps + residual stencil
-        if lvl < len(dist_levels) - 1:
-            exchanges += 2  # restrict + prolong row transfers
+        # (block restriction/prolongation are local — no exchanges)
         halo_bytes = exchanges * 2 * wl * 4 * c  # 2 ghost rows per exchange
         per_level.append(
             {

@@ -273,8 +273,18 @@ class TestMultigrid:
         levels = build_hierarchy(m, neighbor_degree((100, 140)))
         assert levels[0][0].shape == (100, 140)
         assert levels[1][0].shape == (50, 70)
-        # any-pooling: coarse mask covers the fine mask footprint
+        # all-pooling: coarse cells whose whole 2x2 block is unknown stay
+        # unknown; blocks touching the known rim become known (the mask
+        # SHRINKS — any-pooling's growth made the V-cycle divergent, see
+        # the multigrid module docstring)
         assert levels[1][0][5:45, 5:60].all()
+        assert not levels[1][0][:5, :].any() and not levels[1][0][45:, :].any()
+        # a half-covered block (fine rows 9:90 -> block 4 = rows 8,9) is
+        # known under all-pooling, unknown under any-pooling
+        m2 = np.zeros((100, 140), bool)
+        m2[9:90, 10:120] = True
+        levels2 = build_hierarchy(m2, neighbor_degree((100, 140)))
+        assert not levels2[1][0][4, :].any()
 
 
 class TestDeviceHierarchy:
