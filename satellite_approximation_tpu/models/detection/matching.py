@@ -38,6 +38,12 @@ from ...ops.stats import trimmed_average
 from .cloud_mask import CloudObject
 
 _BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+# device-sweep dispatch budgets (see match_clouds_shadows): cell-heights per
+# dispatched program (bounds runtime under the ~60 s tunnel watchdog at the
+# measured ~10 ms per height per cloud per 1024^2 window cells ≈ 14 s) and
+# window cells per vmapped cloud group (bounds live VMEM/HBM intermediates)
+_SWEEP_CELL_BUDGET = 1_500_000_000
+_SWEEP_GROUP_CELLS = 1 << 27
 
 
 def height_sweep(config: MatchingConfig) -> np.ndarray:
@@ -378,7 +384,14 @@ def match_clouds_shadows(
 
         heights_f32 = height_sweep(config)
         nh = len(heights_f32)
+        bucket_groups = []
         for (wb, hb), members in buckets.items():
+            # cloud groups bound the vmap's live memory (each member holds
+            # ~6 window-sized intermediates per scan step)
+            grp = max(1, int(_SWEEP_GROUP_CELLS // (wb * hb)))
+            for g0 in range(0, len(members), grp):
+                bucket_groups.append(((wb, hb), members[g0 : g0 + grp]))
+        for (wb, hb), members in bucket_groups:
             sel = np.asarray(members)
             ids = jnp.asarray([clouds[k].id for k in sel], jnp.int32)
             with timer.stage(f"matching/sweep {wb}x{hb} n={len(sel)}"):
@@ -386,8 +399,14 @@ def match_clouds_shadows(
                 # programs: one program scanning all 473 heights over a
                 # big-window bucket can exceed accelerator watchdog limits
                 # (tunneled runtimes kill ~60 s programs), and chunking
-                # costs only a host concat
-                ch = max(int(config.jax_height_chunk), 1)
+                # costs only a host concat. The chunk size scales inversely
+                # with the group's window cells — the gather-dominated
+                # sweep runs ~10 ms per height per cloud per 1024^2 window
+                # cells, so a fixed 128-height chunk over a 4096^2 bucket
+                # was minutes per dispatch (observed as a watchdog-killed
+                # "TPU worker crashed" at full-tile scale)
+                ch = int(_SWEEP_CELL_BUDGET // max(len(sel) * wb * hb, 1))
+                ch = max(1, min(int(config.jax_height_chunk), ch))
                 parts = []
                 for h0 in range(0, nh, ch):
                     h1 = min(h0 + ch, nh)

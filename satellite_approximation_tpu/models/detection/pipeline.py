@@ -270,17 +270,23 @@ def detect(
 
     _logger.debug(" --- Solving for Sun and Satellite Position...")
     with timer.stage("sun/view geometry"):
-        # chunked host reduction, f32 directions (the reference's own
-        # precision — it is f32 Eigen throughout) with f64 accumulation:
-        # ~25x the f64 full-grid host path (which allocates (H,W,3)
-        # temporaries) and no device transfers; ~1e-7 relative agreement
-        # with the f64 path, far inside the 25 m height quantization of
-        # the downstream sweep
-        sun_pos = geometry.ls_point_equal_to_chunked(
+        # two equivalent f32-direction reductions (~1e-7 relative
+        # agreement, far inside the 25 m height quantization of the
+        # downstream sweep). Host chunked numpy by default: no device
+        # transfers, the right call when the accelerator link is slow.
+        # All-device mode uses the device reduction — the full-tile host
+        # loop is ~13 s/Mpix-row of single-core trig (measured 765 s at
+        # 10980^2) vs one upload + a bandwidth-bound device pass.
+        ls_point = (
+            geometry.ls_point_equal_to_device
+            if all_device
+            else geometry.ls_point_equal_to_chunked
+        )
+        sun_pos = ls_point(
             sun_zenith, sun_azimuth, shape, diagonal_distance,
             config.distance_to_sun_km,
         )
-        view_pos = geometry.ls_point_equal_to_chunked(
+        view_pos = ls_point(
             view_zenith, view_azimuth, shape, diagonal_distance,
             config.distance_to_view_km,
         )
