@@ -420,16 +420,17 @@ def match_clouds_shadows(
                             np.swapaxes(delta[sel], 0, 1)[h0:h1], jnp.float32
                         ),
                     )
+                    # async dispatch: chunks queue on the device back-to-back;
+                    # ONE batched fetch below instead of a blocking D2H (a
+                    # link RTT) per chunk
                     parts.append(
-                        np.asarray(
-                            _bucket_sweep(
-                                cmask_j, psm_j, cmap_j, ids, **args,
-                                wb=wb, hb=hb, width=wdt, height=hgt,
-                                min_support=config.min_support_pixels,
-                            )
+                        _bucket_sweep(
+                            cmask_j, psm_j, cmap_j, ids, **args,
+                            wb=wb, hb=hb, width=wdt, height=hgt,
+                            min_support=config.min_support_pixels,
                         )
                     )
-                sims = np.concatenate(parts, axis=0)  # (Nh, Nsel)
+                sims = np.concatenate(jax.device_get(parts), axis=0)  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
             best_sim = sims[best_idx, np.arange(len(sel))]
 

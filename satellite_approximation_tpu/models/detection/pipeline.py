@@ -201,16 +201,24 @@ def detect(
         from ... import native
 
         big_scene = clp.size >= BIG_SCENE_PIXELS
-        # full-tile shadow stage placement: host-side native priority-flood
-        # (raster transfers over a tunneled link cost more than the compute)
-        # unless backend="jax" keeps everything device-resident or the
-        # native library is unavailable (then the device staged path runs
-        # and raw u16 upload halves the bytes)
-        host_shadow = (
-            big_scene
-            and config.refinement.backend != "jax"
-            and native.available()
+        # Stage placement for big scenes. backend="jax" forces every stage
+        # on device. "auto" on a real TPU routes the shadow stage and the
+        # refinement on device too — measured at full tile (results_r03
+        # config 6 stage tables, even across a ~25 MB/s tunnel): pit fill
+        # 23 s device vs 608 s host priority-flood, alpha ~0 vs 143 s,
+        # beta 28 vs 208 s, sun/view LS 95 vs 777 s. Only ray-cast
+        # MATCHING keeps its own routing (auto -> native when available:
+        # its irregular gathers are the one stage the device loses,
+        # 1354 s vs 102 s). Without a TPU (CPU jax), host native stages
+        # win and the old routing stands.
+        import jax
+
+        device_stages = config.refinement.backend == "jax" or (
+            config.refinement.backend == "auto"
+            and big_scene
+            and jax.default_backend() == "tpu"
         )
+        host_shadow = big_scene and not device_stages and native.available()
         if host_shadow:
             # host f32 division of u16 values equals the device
             # normalization bit-for-bit (TestDeviceNormalize)
@@ -223,7 +231,7 @@ def detect(
     shape = clp.shape
 
     _logger.debug(" --- Cloud Detection...")
-    all_device = config.refinement.backend == "jax"
+    all_device = device_stages
     with timer.stage("cloud mask"):
         generated = cm.generate_cloud_mask_ignore_low_probability(
             clp, cld, scl, config.cloud_mask, device_output=all_device
@@ -306,14 +314,15 @@ def detect(
         )
 
     _logger.debug(" --- Generating Probability Function...")
-    # "jax": every stage on device. "auto": follow the data — when the
-    # shadow stage left its rasters device-resident (full-tile scene
-    # without the native library), run alpha / histograms / sampling on
-    # device too so ~2 GB never crosses the link; beta stays host either
-    # way (per-shadow EDT windows are cheap on host, the bucketed device
-    # program isn't at 4k windows).
+    # device_stages (backend="jax", or "auto" on a TPU at full-tile scale):
+    # alpha / beta / histograms / sampling all run on device — beta's
+    # inputs (blended CLP, shadow windows) are already device-resident
+    # there, and the bucketed device beta measured 28 s vs 208 s host at
+    # full tile. Otherwise "auto" follows the data: device refinement only
+    # when the shadow stage left device arrays, and beta stays host
+    # (per-shadow EDT windows are cheap on host at small scales).
     backend = config.refinement.backend
-    use_jax_refinement = backend == "jax"
+    use_jax_refinement = device_stages
     dev_refine = use_jax_refinement or (
         backend == "auto"
         and not isinstance(psm.difference_of_pitfill_nir, np.ndarray)
