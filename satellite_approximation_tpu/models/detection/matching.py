@@ -44,6 +44,16 @@ _BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 # window cells per vmapped cloud group (bounds live VMEM/HBM intermediates)
 _SWEEP_CELL_BUDGET = 1_500_000_000
 _SWEEP_GROUP_CELLS = 1 << 27
+# the separable shift-decomposed sweep does rx+ry+2 cheap select passes per
+# cell-height instead of a per-pixel gather — measured ~50x faster, so its
+# programs can pack far more cell-heights under the same watchdog bound
+_SWEEP_CELL_BUDGET_SEP = 16 * _SWEEP_CELL_BUDGET
+# max integer span of (qi - px) / (qj - py) over a window the decomposed
+# kernel enumerates; spans beyond this (would need a >12 km cloud at a ~700
+# km view distance) fall back to the gather kernel
+_SEP_SPAN_CAP = 128
+# static-shape quantization of the enumerated span (bounds recompiles)
+_SEP_SPANS = (2, 4, 8, 16, 32, 64, _SEP_SPAN_CAP)
 
 
 def height_sweep(config: MatchingConfig) -> np.ndarray:
@@ -153,23 +163,27 @@ def _cast_transforms(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wb", "hb", "width", "height", "min_support")
+    jax.jit,
+    static_argnames=("wb", "hb", "width", "height", "pf", "min_support"),
 )
 def _bucket_sweep(
     cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
-    wb: int, hb: int, width: int, height: int, min_support: int = 5,
+    wb: int, hb: int, width: int, height: int, pf: int = 0,
+    min_support: int = 5,
 ):
     """Similarity of every (height, cloud) pair in one bucket.
 
     Scans the height axis sequentially (bounded memory) with all clouds of
     the bucket evaluated together; each step is one fused window pass.
+    ``pf``: front padding of the shared device arrays (logical index 0 sits
+    at padded index pf).
     """
     u = jnp.arange(wb, dtype=jnp.int32)[None, :]
     v = jnp.arange(hb, dtype=jnp.int32)[:, None]
 
     def one_cloud(cid, mnx, mny, mxx, mxy, a2c, dc):
-        cm = lax.dynamic_slice(cmask_f, (mny, mnx), (hb, wb))
-        ps = lax.dynamic_slice(psm_f, (mny, mnx), (hb, wb))
+        cm = lax.dynamic_slice(cmask_f, (pf + mny, pf + mnx), (hb, wb))
+        ps = lax.dynamic_slice(psm_f, (pf + mny, pf + mnx), (hb, wb))
         px = mnx + u
         py = mny + v
         in_win = (px <= mxx) & (py <= mxy)
@@ -180,7 +194,9 @@ def _bucket_sweep(
         qi = qx.astype(jnp.int32)  # trunc toward zero, like glm ivec2
         qj = qy.astype(jnp.int32)
         validq = (qi >= 0) & (qi < width) & (qj >= 0) & (qj < height)
-        at_cloud = cmap_f[jnp.clip(qj, 0, height - 1), jnp.clip(qi, 0, width - 1)]
+        at_cloud = cmap_f[
+            pf + jnp.clip(qj, 0, height - 1), pf + jnp.clip(qi, 0, width - 1)
+        ]
         cand = in_win & (~cm) & validq & (at_cloud == cid)
         hit = cand & ps
         return jnp.sum(cand, dtype=jnp.int32), jnp.sum(hit, dtype=jnp.int32)
@@ -200,10 +216,176 @@ def _bucket_sweep(
     return sims  # (Nh, Nc)
 
 
-@functools.partial(jax.jit, static_argnames=("wb", "hb", "width", "height"))
+def _quantize_span(span: int) -> int | None:
+    for s in _SEP_SPANS:
+        if span <= s:
+            return s
+    return None
+
+
+def _sep_metadata(a2f, dlf, mnx, mny, wb, hb, width, height):
+    """Separability metadata for one (bucket, height-chunk) group.
+
+    The matching affine is the composition of two point-projections between
+    parallel planes — a homothety, so its linear part is (scale)*I and the
+    off-diagonal terms are pure least-squares-fit noise (~1e-14; see
+    benchmarks/x_affine_probe.py). In the f32 arithmetic of the device
+    kernel the cross terms are then absorbed below the ULP of the diagonal
+    terms, making qi a function of the column alone and qj of the row
+    alone. This PROVES that bit-wise per group, with a monotone pinch
+    check: f32 ops are monotone, so if the window's two extreme rows yield
+    bit-identical qx for every column, every row in between does too
+    (same op order as `_bucket_sweep`'s qx/qy; HLO has no FMA op, so
+    XLA's f32 mul/add are the same correctly-rounded two-step sums numpy
+    computes here).
+
+    Returns (ok, sx, sy, rx, ry): per-(cloud, height) pinch verdicts and
+    int32 source anchors (min valid qi/qj), plus the group's worst integer
+    shift spans. All inputs are the f32-cast values the device receives.
+    """
+    a00 = a2f[..., 0, 0][..., None]
+    a01 = a2f[..., 0, 1][..., None]
+    a10 = a2f[..., 1, 0][..., None]
+    a11 = a2f[..., 1, 1][..., None]
+    d0 = dlf[..., 0][..., None]
+    d1 = dlf[..., 1][..., None]
+
+    fx = (mnx[..., None] + np.arange(wb, dtype=np.int64)).astype(np.float32)
+    fy = (mny[..., None] + np.arange(hb, dtype=np.int64)).astype(np.float32)
+    x_col = a00 * fx  # (..., wb) f32
+    v_row = a11 * fy  # (..., hb) f32
+
+    y_lo = (a01 * mny[..., None].astype(np.float32)).astype(np.float32)
+    y_hi = (a01 * (mny[..., None] + (hb - 1)).astype(np.float32)).astype(
+        np.float32
+    )
+    u_lo = (a10 * mnx[..., None].astype(np.float32)).astype(np.float32)
+    u_hi = (a10 * (mnx[..., None] + (wb - 1)).astype(np.float32)).astype(
+        np.float32
+    )
+
+    qx = (x_col + y_lo) + d0
+    ok_x = (qx == ((x_col + y_hi) + d0)).all(axis=-1)
+    qy = (u_lo + v_row) + d1
+    ok_y = (qy == ((u_hi + v_row) + d1)).all(axis=-1)
+    ok = ok_x & ok_y
+
+    def anchor_span(q, limit, n):
+        """Anchor/span of the RELATIVE shift qi - p over valid pixels:
+        q - p =~ (scale-1)*p + translation spans only a few integers even
+        though q itself spans the whole window."""
+        qi = q.astype(np.int32)
+        valid = (q > np.float32(-1.0)) & (q < np.float32(limit)) & (qi >= 0) & (
+            qi < limit
+        )
+        rel = qi - np.arange(n, dtype=np.int32)
+        lo = np.where(valid, rel, 2**30).min(axis=-1)
+        hi = np.where(valid, rel, -(2**30)).max(axis=-1)
+        any_valid = valid.any(axis=-1)
+        # +-1 guard band: covers host/device cast edge cases at no cost
+        lo = np.where(any_valid, lo - 1, 0)
+        hi = np.where(any_valid, hi + 1, 0)
+        return lo.astype(np.int32), int(np.maximum(hi - lo, 0).max())
+
+    sx, rx = anchor_span(qx, width, wb)
+    sy, ry = anchor_span(qy, height, hb)
+    return ok, sx, sy, rx, ry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rx", "ry", "wb", "hb", "width", "height", "pf", "min_support"
+    ),
+)
+def _bucket_sweep_sep(
+    cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
+    src_x, src_y,
+    rx: int, ry: int, wb: int, hb: int, width: int, height: int, pf: int,
+    min_support: int = 5,
+):
+    """Gather-free similarity sweep for separable (pure-homothety) casts.
+
+    Bit-equal to `_bucket_sweep` whenever `_sep_metadata` vouches for the
+    group (tests/test_detection.py::TestSeparableSweep): the irregular
+    per-pixel gather ``cmap[qj, qi]`` factors into one dynamic_slice at the
+    source anchor plus (rx+1) column-shift and (ry+1) row-shift select
+    passes — pure VPU work, no gather. This is what makes the all-device
+    matching route fast at full-tile scale (the gather runs ~10 ms per
+    height per 1024^2 window; this runs the same window in ~tens of us).
+
+    ``pf``: front padding of the shared device arrays — the source anchor
+    (min of qi - px over the window) is negative whenever the shadow is
+    cast toward lower indices, bounded by the window size which the pads
+    cover by construction.
+    """
+    u = jnp.arange(wb, dtype=jnp.int32)
+    v = jnp.arange(hb, dtype=jnp.int32)
+
+    def one_cloud(cid, mnx, mny, mxx, mxy, a2c, dc, sx, sy):
+        fx = (mnx + u).astype(jnp.float32)
+        fy = (mny + v).astype(jnp.float32)
+        # same op order as _bucket_sweep's qx/qy with the cross term pinned
+        # at the window corner (any row/column gives the identical f32
+        # value per the host pinch check)
+        y0 = a2c[0, 1] * mny.astype(jnp.float32)
+        u0 = a2c[1, 0] * mnx.astype(jnp.float32)
+        qx = (a2c[0, 0] * fx + y0) + dc[0]  # (wb,)
+        qy = (u0 + a2c[1, 1] * fy) + dc[1]  # (hb,)
+        qi = qx.astype(jnp.int32)
+        qj = qy.astype(jnp.int32)
+        validc = (qi >= 0) & (qi < width)
+        validr = (qj >= 0) & (qj < height)
+        dxs = qi - u - sx  # relative shift, in [0, rx] wherever valid
+        dys = qj - v - sy
+
+        # slice rows r cover source rows sy+mny'+... : S[r, c] =
+        # cmap[sy + r - pf', ...]; composing the two shift stages reads
+        # S[v + dys[v], u + dxs[u]] = cmap[qj(v), qi(u)] exactly
+        seq = (
+            lax.dynamic_slice(
+                cmap_f, (pf + sy, pf + sx), (hb + ry, wb + rx)
+            )
+            == cid
+        )
+        w_acc = jnp.zeros((hb + ry, wb), dtype=bool)
+        for dx in range(rx + 1):
+            w_acc = w_acc | ((dxs == dx)[None, :] & seq[:, dx : dx + wb])
+        at_cloud = jnp.zeros((hb, wb), dtype=bool)
+        for dy in range(ry + 1):
+            at_cloud = at_cloud | ((dys == dy)[:, None] & w_acc[dy : dy + hb, :])
+
+        cm = lax.dynamic_slice(cmask_f, (pf + mny, pf + mnx), (hb, wb))
+        ps = lax.dynamic_slice(psm_f, (pf + mny, pf + mnx), (hb, wb))
+        px = mnx + u[None, :]
+        py = mny + v[:, None]
+        in_win = (px <= mxx) & (py <= mxy)
+        cand = in_win & (~cm) & validr[:, None] & validc[None, :] & at_cloud
+        hit = cand & ps
+        return jnp.sum(cand, dtype=jnp.int32), jnp.sum(hit, dtype=jnp.int32)
+
+    def step(_, args):
+        mnx, mny, mxx, mxy, a2h, dh, sxh, syh = args
+        t, c = jax.vmap(one_cloud)(ids, mnx, mny, mxx, mxy, a2h, dh, sxh, syh)
+        sim = jnp.where(
+            t >= min_support,
+            c.astype(jnp.float32) / t.astype(jnp.float32),
+            jnp.float32(-1.1),
+        )
+        return None, sim
+
+    _, sims = lax.scan(
+        step, None, (min_x, min_y, max_x, max_y, a2, delta, src_x, src_y)
+    )
+    return sims  # (Nh, Nc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wb", "hb", "width", "height", "pf")
+)
 def _bucket_detail(
     cmask_f, psm_f, cmap_f, ids, min_x, min_y, max_x, max_y, a2, delta,
-    wb: int, hb: int, width: int, height: int,
+    wb: int, hb: int, width: int, height: int, pf: int = 0,
 ):
     """Hit windows + hit-pixel bounds at each cloud's best height."""
     u = jnp.arange(wb, dtype=jnp.int32)[None, :]
@@ -211,8 +393,8 @@ def _bucket_detail(
     big = jnp.int32(2**30)
 
     def one_cloud(cid, mnx, mny, mxx, mxy, a2c, dc):
-        cm = lax.dynamic_slice(cmask_f, (mny, mnx), (hb, wb))
-        ps = lax.dynamic_slice(psm_f, (mny, mnx), (hb, wb))
+        cm = lax.dynamic_slice(cmask_f, (pf + mny, pf + mnx), (hb, wb))
+        ps = lax.dynamic_slice(psm_f, (pf + mny, pf + mnx), (hb, wb))
         px = mnx + u
         py = mny + v
         in_win = (px <= mxx) & (py <= mxy)
@@ -223,7 +405,9 @@ def _bucket_detail(
         qi = qx.astype(jnp.int32)
         qj = qy.astype(jnp.int32)
         validq = (qi >= 0) & (qi < width) & (qj >= 0) & (qj < height)
-        at_cloud = cmap_f[jnp.clip(qj, 0, height - 1), jnp.clip(qi, 0, width - 1)]
+        at_cloud = cmap_f[
+            pf + jnp.clip(qj, 0, height - 1), pf + jnp.clip(qi, 0, width - 1)
+        ]
         cand = in_win & (~cm) & validq & (at_cloud == cid)
         hit = cand & ps
         t = jnp.sum(cand, dtype=jnp.int32)
@@ -363,17 +547,25 @@ def match_clouds_shadows(
         # round-trip the link at all
         ext_x = (mxx - mnx + 1).max(axis=1)  # (Nc,)
         ext_y = (mxy - mny + 1).max(axis=1)
-        pad_w = int(min(_bucket_size(int(ext_x.max())), _BUCKETS[-1]))
-        pad_h = int(min(_bucket_size(int(ext_y.max())), _BUCKETS[-1]))
+        # back pads: target slices reach wdt-1 + wb, plus rx span slack for
+        # the separable sweep's source slice. Front pads (pf): the source
+        # anchor min(qi - px) is negative whenever the shadow is cast
+        # toward lower indices, bounded by the window size.
+        base_w = int(min(_bucket_size(int(ext_x.max())), _BUCKETS[-1]))
+        base_h = int(min(_bucket_size(int(ext_y.max())), _BUCKETS[-1]))
+        pad_w = base_w + _SEP_SPAN_CAP
+        pad_h = base_h + _SEP_SPAN_CAP
+        pf = max(base_w, base_h) + _SEP_SPAN_CAP
         cmask_j = jnp.pad(
-            jnp.flipud(jnp.asarray(cloud_mask, bool)), ((0, pad_h), (0, pad_w))
+            jnp.flipud(jnp.asarray(cloud_mask, bool)), ((pf, pad_h), (pf, pad_w))
         )
         psm_j = jnp.pad(
-            jnp.flipud(jnp.asarray(potential_shadow, bool)), ((0, pad_h), (0, pad_w))
+            jnp.flipud(jnp.asarray(potential_shadow, bool)),
+            ((pf, pad_h), (pf, pad_w)),
         )
         cmap_j = jnp.pad(
             jnp.flipud(jnp.asarray(cloud_map, jnp.int32)),
-            ((0, pad_h), (0, pad_w)),
+            ((pf, pad_h), (pf, pad_w)),
             constant_values=-2,
         )
 
@@ -405,31 +597,67 @@ def match_clouds_shadows(
                 # cells, so a fixed 128-height chunk over a 4096^2 bucket
                 # was minutes per dispatch (observed as a watchdog-killed
                 # "TPU worker crashed" at full-tile scale)
-                ch = int(_SWEEP_CELL_BUDGET // max(len(sel) * wb * hb, 1))
-                ch = max(1, min(int(config.jax_height_chunk), ch))
+                cells = max(len(sel) * wb * hb, 1)
+                ch_gather = max(
+                    1,
+                    min(int(config.jax_height_chunk), int(_SWEEP_CELL_BUDGET // cells)),
+                )
+                ch_sep = max(1, int(_SWEEP_CELL_BUDGET_SEP // cells))
                 parts = []
-                for h0 in range(0, nh, ch):
-                    h1 = min(h0 + ch, nh)
-                    args = dict(
-                        min_x=jnp.asarray(mnx[sel].T[h0:h1], jnp.int32),
-                        min_y=jnp.asarray(mny[sel].T[h0:h1], jnp.int32),
-                        max_x=jnp.asarray(mxx[sel].T[h0:h1], jnp.int32),
-                        max_y=jnp.asarray(mxy[sel].T[h0:h1], jnp.int32),
-                        a2=jnp.asarray(np.swapaxes(a2[sel], 0, 1)[h0:h1], jnp.float32),
-                        delta=jnp.asarray(
-                            np.swapaxes(delta[sel], 0, 1)[h0:h1], jnp.float32
-                        ),
+                h0 = 0
+                while h0 < nh:
+                    h1 = min(h0 + ch_sep, nh)
+
+                    def chunk_args(g0, g1):
+                        return dict(
+                            min_x=jnp.asarray(mnx[sel].T[g0:g1], jnp.int32),
+                            min_y=jnp.asarray(mny[sel].T[g0:g1], jnp.int32),
+                            max_x=jnp.asarray(mxx[sel].T[g0:g1], jnp.int32),
+                            max_y=jnp.asarray(mxy[sel].T[g0:g1], jnp.int32),
+                            a2=jnp.asarray(
+                                np.swapaxes(a2[sel], 0, 1)[g0:g1], jnp.float32
+                            ),
+                            delta=jnp.asarray(
+                                np.swapaxes(delta[sel], 0, 1)[g0:g1], jnp.float32
+                            ),
+                        )
+
+                    # separability metadata on the exact f32 values the
+                    # device sees; routes this chunk to the gather-free
+                    # kernel whenever the pinch check vouches for it
+                    ok, sx, sy, rx_span, ry_span = _sep_metadata(
+                        np.swapaxes(a2[sel], 0, 1)[h0:h1].astype(np.float32),
+                        np.swapaxes(delta[sel], 0, 1)[h0:h1].astype(np.float32),
+                        mnx[sel].T[h0:h1], mny[sel].T[h0:h1],
+                        wb, hb, wdt, hgt,
                     )
+                    rx = _quantize_span(rx_span)
+                    ry = _quantize_span(ry_span)
                     # async dispatch: chunks queue on the device back-to-back;
                     # ONE batched fetch below instead of a blocking D2H (a
                     # link RTT) per chunk
-                    parts.append(
-                        _bucket_sweep(
-                            cmask_j, psm_j, cmap_j, ids, **args,
-                            wb=wb, hb=hb, width=wdt, height=hgt,
-                            min_support=config.min_support_pixels,
+                    if bool(ok.all()) and rx is not None and ry is not None:
+                        parts.append(
+                            _bucket_sweep_sep(
+                                cmask_j, psm_j, cmap_j, ids, **chunk_args(h0, h1),
+                                src_x=jnp.asarray(sx, jnp.int32),
+                                src_y=jnp.asarray(sy, jnp.int32),
+                                rx=rx, ry=ry, wb=wb, hb=hb, width=wdt, height=hgt,
+                                pf=pf, min_support=config.min_support_pixels,
+                            )
                         )
-                    )
+                    else:
+                        for g0 in range(h0, h1, ch_gather):
+                            g1 = min(g0 + ch_gather, h1)
+                            parts.append(
+                                _bucket_sweep(
+                                    cmask_j, psm_j, cmap_j, ids,
+                                    **chunk_args(g0, g1),
+                                    wb=wb, hb=hb, width=wdt, height=hgt,
+                                    pf=pf, min_support=config.min_support_pixels,
+                                )
+                            )
+                    h0 = h1
                 sims = np.concatenate(jax.device_get(parts), axis=0)  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
             best_sim = sims[best_idx, np.arange(len(sel))]
@@ -443,7 +671,7 @@ def match_clouds_shadows(
                     max_y=jnp.asarray(mxy[sel, best_idx], jnp.int32),
                     a2=jnp.asarray(a2[sel, best_idx], jnp.float32),
                     delta=jnp.asarray(delta[sel, best_idx], jnp.float32),
-                    wb=wb, hb=hb, width=wdt, height=hgt,
+                    wb=wb, hb=hb, width=wdt, height=hgt, pf=pf,
                 )
             with timer.stage(f"matching/detail fetch {wb}x{hb}"):
                 # one batched D2H: per-array fetches each pay a tunnel RTT

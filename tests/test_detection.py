@@ -360,3 +360,104 @@ class TestDynamicPercentile:
             # by ulps; accumulation orders differ) — same contract as
             # device-vs-host
             np.testing.assert_allclose(chk, dev, rtol=2e-5)
+
+class TestSeparableSweep:
+    """The gather-free shift-decomposed sweep must be bit-equal to the
+    gather sweep whenever _sep_metadata vouches for the chunk, including
+    scenes whose shift spans cover several integers and whose source
+    anchors are negative (shadow cast toward lower indices)."""
+
+    @staticmethod
+    def _big_scene(sun, seed=11, h=640, w=768, diag=9.0):
+        r = np.random.default_rng(seed)
+        mask = np.zeros((h, w), dtype=bool)
+        mask[200:420, 250:480] = True  # big cloud: spans reach ~4 px at 12 km
+        mask[60:70, 600:640] = True
+        cmap, clouds = cm.partition_cloud_mask(mask, diag, 3)
+        psm = (r.random((h, w)) > 0.5) & ~mask
+        view = np.array([0.05, 0.1, 785.0])
+        return mask, cmap, clouds, psm, view
+
+    @pytest.mark.parametrize(
+        "sun",
+        [np.array([2.0e8, 1.0e8, 1.5e9]), np.array([-2.0e8, -1.2e8, 1.5e9])],
+        ids=["cast_up_right", "cast_down_left"],
+    )
+    def test_sep_equals_gather(self, sun, monkeypatch):
+        mask, cmap, clouds, psm, view = self._big_scene(sun)
+        config = MatchingConfig(height_step_km=0.35, backend="jax")
+
+        routes = {"sep": 0, "gather": 0}
+        orig_sep = matching._bucket_sweep_sep
+        orig_gat = matching._bucket_sweep
+
+        def count_sep(*a, **k):
+            routes["sep"] += 1
+            return orig_sep(*a, **k)
+
+        def count_gat(*a, **k):
+            routes["gather"] += 1
+            return orig_gat(*a, **k)
+
+        monkeypatch.setattr(matching, "_bucket_sweep_sep", count_sep)
+        monkeypatch.setattr(matching, "_bucket_sweep", count_gat)
+        res_sep = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, 9.0, sun, view, config
+        )
+        assert routes["sep"] > 0 and routes["gather"] == 0
+
+        # force the gather route by vetoing separability
+        orig_meta = matching._sep_metadata
+
+        def veto(*a, **k):
+            ok, sx, sy, rx, ry = orig_meta(*a, **k)
+            return np.zeros_like(ok), sx, sy, rx, ry
+
+        monkeypatch.setattr(matching, "_sep_metadata", veto)
+        res_gat = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, 9.0, sun, view, config
+        )
+        assert routes["gather"] > 0
+
+        np.testing.assert_array_equal(res_sep.shadow_mask, res_gat.shadow_mask)
+        assert res_sep.solutions.keys() == res_gat.solutions.keys()
+        for cid in res_sep.solutions:
+            a, b = res_sep.solutions[cid], res_gat.solutions[cid]
+            assert a.height == b.height, cid
+            assert a.similarity == b.similarity, cid
+        np.testing.assert_equal(
+            res_sep.trimmed_mean_height, res_gat.trimmed_mean_height
+        )
+
+    def test_spans_exercised(self):
+        """The big-cloud scene must actually cover multi-integer shifts —
+        otherwise test_sep_equals_gather proves nothing about the shift
+        enumeration."""
+        sun = np.array([2.0e8, 1.0e8, 1.5e9])
+        mask, cmap, clouds, psm, view = self._big_scene(sun)
+        heights = matching.height_sweep(MatchingConfig(height_step_km=0.35))
+        h, w = mask.shape
+        a2, delta, (mnx, mxx, mny, mxy), _ = matching._cast_transforms(
+            clouds, heights, (h, w), 9.0, sun, view
+        )
+        wb = int((mxx - mnx + 1).max())
+        hb = int((mxy - mny + 1).max())
+        ok, sx, sy, rx, ry = matching._sep_metadata(
+            np.swapaxes(a2, 0, 1).astype(np.float32),
+            np.swapaxes(delta, 0, 1).astype(np.float32),
+            mnx.T, mny.T, wb, hb, w, h,
+        )
+        assert ok.all()
+        assert rx >= 4 and ry >= 4  # guard band alone would give 2
+
+    def test_metadata_rejects_shear(self):
+        """Cross terms big enough to survive f32 rounding must fail the
+        pinch check (the router then takes the gather kernel)."""
+        nc, nh, wb, hb = 1, 3, 64, 64
+        a2 = np.tile(np.eye(2, dtype=np.float32), (nh, nc, 1, 1))
+        a2[..., 0, 1] = 0.01  # 0.64 px of cross-row drift over the window
+        dl = np.full((nh, nc, 2), 5.0, np.float32)
+        mnx = np.full((nh, nc), 100, np.int64)
+        mny = np.full((nh, nc), 200, np.int64)
+        ok, *_ = matching._sep_metadata(a2, dl, mnx, mny, wb, hb, 512, 512)
+        assert not ok.any()
