@@ -541,6 +541,43 @@ def match_clouds_shadows(
                 clouds, heights, (hgt, wdt), diagonal, sun_pos, view_pos
             )
 
+        # windows wider than the largest bucket would be silently truncated
+        # by the padded device sweep (in_win never reaches past the bucket);
+        # such giant-cloud windows are rare — scan them exactly on the
+        # native backend (exact per-height bboxes, no padding)
+        ext_x_all = (mxx - mnx + 1).max(axis=1)
+        ext_y_all = (mxy - mny + 1).max(axis=1)
+        oversized = (ext_x_all > _BUCKETS[-1]) | (ext_y_all > _BUCKETS[-1])
+        if oversized.any():
+            from ... import native
+
+            over = [k for k in range(len(clouds)) if oversized[k]]
+            if native.available():
+                with timer.stage("matching/native scan (oversized windows)"):
+                    _match_native(
+                        [clouds[k] for k in over], cloud_map, cloud_mask,
+                        potential_shadow, config,
+                        a2[over], delta[over], mnx[over], mxx[over],
+                        mny[over], mxy[over], m_all[over],
+                        heights, solutions, shadows, shadow_mask_flipped,
+                    )
+                keep = [k for k in range(len(clouds)) if not oversized[k]]
+                clouds = [clouds[k] for k in keep]
+                a2, delta, m_all = a2[keep], delta[keep], m_all[keep]
+                mnx, mxx = mnx[keep], mxx[keep]
+                mny, mxy = mny[keep], mxy[keep]
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"{len(over)} cloud window(s) exceed the {_BUCKETS[-1]}px "
+                    "device bucket cap and the native library is unavailable; "
+                    "their scan windows are truncated to the cap",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+    if clouds and not use_native:
         # flipped (bottom-origin-row) arrays, padded so dynamic_slice never
         # clamps — flip/pad ON DEVICE: host inputs upload their raw bytes
         # once, device-resident inputs (the all-device pipeline route) never

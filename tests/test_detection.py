@@ -461,3 +461,28 @@ class TestSeparableSweep:
         mny = np.full((nh, nc), 200, np.int64)
         ok, *_ = matching._sep_metadata(a2, dl, mnx, mny, wb, hb, 512, 512)
         assert not ok.any()
+
+    def test_oversized_windows_route_to_native(self, monkeypatch):
+        """Windows above the bucket cap must not be truncated: they scan on
+        the native backend (exact bboxes) and merge with the device results."""
+        from satellite_approximation_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        sun = np.array([2.0e8, 1.0e8, 1.5e9])
+        mask, cmap, clouds, psm, view = self._big_scene(sun)
+        psm = np.ones_like(psm) & ~mask
+        config = MatchingConfig(height_step_km=0.5)
+        res_native = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, 9.0, sun, view, config, use_native=True
+        )
+        # shrink the bucket cap so the 230-px cloud window counts as oversized
+        monkeypatch.setattr(matching, "_BUCKETS", (8, 16, 32, 64, 128))
+        res_mixed = matching.match_clouds_shadows(
+            clouds, cmap, mask, psm, 9.0, sun, view, config, use_native=False
+        )
+        assert any(s.similarity > 0 for s in res_native.solutions.values())
+        np.testing.assert_array_equal(res_native.shadow_mask, res_mixed.shadow_mask)
+        for cid in res_native.solutions:
+            a, b = res_native.solutions[cid], res_mixed.solutions[cid]
+            assert a.height == b.height and a.similarity == b.similarity, cid
