@@ -498,11 +498,14 @@ def match_clouds_shadows(
     """Match every cloud to its shadow (CloudShadowMatching.cpp:168-197).
 
     Two equivalent backends (equality-tested in tests/test_detection.py):
-    the batched XLA bucket sweep, and the native C++ scan. The affine
-    back-projection gather is hostile to XLA (irregular gathers lower
-    poorly on TPU: a single 1024^2-window cloud costs ~5 s on-device vs
-    ~0.4 s native), so the native path is the default when the library is
-    available; ``use_native=False`` forces the device path.
+    the batched XLA bucket sweep, and the native C++ scan. The device
+    sweep routes separable (pure-homothety) casts — structurally, all of
+    them — to the gather-free shift-decomposed kernel; measured at full
+    tile it beats the single-core native scan ~50x (results_r03 config 6:
+    4.75 s warm at 4096^2 vs ~290 s native at 10980^2), so "auto" takes
+    the device sweep for big scenes on a real TPU and the native scan
+    otherwise (small scenes are dispatch-latency-bound on a tunneled
+    host). ``use_native=False`` forces the device path.
     """
     if timer is None:
         from ...utils.profiling import StageTimer
@@ -516,7 +519,12 @@ def match_clouds_shadows(
         elif config.backend == "jax":
             use_native = False
         else:
-            use_native = native.available()
+            from ...config import BIG_SCENE_PIXELS
+
+            big_scene = cloud_mask.size >= BIG_SCENE_PIXELS
+            use_native = native.available() and not (
+                big_scene and jax.default_backend() == "tpu"
+            )
     hgt, wdt = cloud_mask.shape
     heights = height_sweep(config)
 

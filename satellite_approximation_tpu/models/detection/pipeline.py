@@ -206,11 +206,11 @@ def detect(
         # refinement on device too — measured at full tile (results_r03
         # config 6 stage tables, even across a ~25 MB/s tunnel): pit fill
         # 23 s device vs 608 s host priority-flood, alpha ~0 vs 143 s,
-        # beta 28 vs 208 s, sun/view LS 95 vs 777 s. Only ray-cast
-        # MATCHING keeps its own routing (auto -> native when available:
-        # its irregular gathers are the one stage the device loses,
-        # 1354 s vs 102 s). Without a TPU (CPU jax), host native stages
-        # win and the old routing stands.
+        # beta 28 vs 208 s, sun/view LS 95 vs 777 s. Ray-cast matching has
+        # its own size-based routing (matching.match_clouds_shadows): the
+        # shift-decomposed device sweep beats the native scan ~50x at big
+        # scenes since it no longer gathers. Without a TPU (CPU jax), host
+        # native stages win and the old routing stands.
         import jax
 
         device_stages = config.refinement.backend == "jax" or (
