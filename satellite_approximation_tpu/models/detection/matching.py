@@ -601,15 +601,23 @@ def match_clouds_shadows(
         pad_w = base_w + _SEP_SPAN_CAP
         pad_h = base_h + _SEP_SPAN_CAP
         pf = max(base_w, base_h) + _SEP_SPAN_CAP
+        # host rasters cross the link compact: bool masks bit-packed (8x),
+        # the id map narrowed to i16 when ids fit (2x) — at full tile this
+        # is ~660 MB -> ~270 MB of H2D
+        from ...ops.masks import push_mask
+
+        cmap_host = cloud_map
+        if isinstance(cmap_host, np.ndarray) and len(clouds) < 2**15 - 1:
+            cmap_host = cmap_host.astype(np.int16)
         cmask_j = jnp.pad(
-            jnp.flipud(jnp.asarray(cloud_mask, bool)), ((pf, pad_h), (pf, pad_w))
+            jnp.flipud(push_mask(cloud_mask)), ((pf, pad_h), (pf, pad_w))
         )
         psm_j = jnp.pad(
-            jnp.flipud(jnp.asarray(potential_shadow, bool)),
+            jnp.flipud(push_mask(potential_shadow)),
             ((pf, pad_h), (pf, pad_w)),
         )
         cmap_j = jnp.pad(
-            jnp.flipud(jnp.asarray(cloud_map, jnp.int32)),
+            jnp.flipud(jnp.asarray(cmap_host).astype(jnp.int32)),
             ((pf, pad_h), (pf, pad_w)),
             constant_values=-2,
         )

@@ -138,9 +138,12 @@ def _read_angles(
     of host RAM per full-tile raster."""
     raw = inputs.get(path.stem) if inputs else None
     if raw is not None:
-        return raw.astype(dtype)
+        # zero-copy when the caller's raster already has the target dtype
+        # (a full-tile f32 raster is ~482 MB; four needless copies measured
+        # as multi-minute stalls on a contended 1-core host)
+        return np.asarray(raw, dtype)
     try:
-        return GeoTIFF.open(path).read().astype(dtype)
+        return np.asarray(GeoTIFF.open(path).read(), dtype)
     except Exception as e:  # noqa: BLE001
         raise RuntimeError(f"Failed to open {what} file. Provided path: {path}") from e
 

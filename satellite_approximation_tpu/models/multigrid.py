@@ -472,7 +472,13 @@ def device_constant(arr) -> jnp.ndarray:
         return cached
     if len(_CONST_CACHE) > 16:
         _CONST_CACHE.clear()
-    val = jnp.asarray(arr)
+    if arr.dtype == np.bool_:
+        # bool rasters cross the link bit-packed (8x fewer H2D bytes)
+        from ..ops.masks import push_mask
+
+        val = push_mask(arr)
+    else:
+        val = jnp.asarray(arr)
     _CONST_CACHE[key] = val
     return val
 

@@ -12,6 +12,7 @@ All functions are jittable and vmappable.
 from __future__ import annotations
 
 import enum
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -128,3 +129,26 @@ def fetch_mask(mask) -> np.ndarray:
     packed = np.asarray(_pack_bits(flat))
     out = np.unpackbits(packed)[:flat_len].astype(bool)
     return out.reshape(h_w)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _unpack_bits_device(packed: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
+    """Unpack big-endian packed bytes back into a bool raster on device
+    (inverse of :func:`_pack_bits`; one fused VPU pass)."""
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[:, None] >> shifts) & jnp.uint8(1)
+    flat_len = int(np.prod(shape))
+    return bits.reshape(-1)[:flat_len].astype(bool).reshape(shape)
+
+
+def push_mask(mask: np.ndarray) -> jnp.ndarray:
+    """Upload a host bool mask at 1 BIT per pixel (H2D mirror of
+    :func:`fetch_mask`): numpy packs at memory speed, the 8x-smaller u8
+    buffer crosses the link, one device pass unpacks. A 10980^2 bool mask
+    is 120 MB raw vs 15 MB packed — multi-second H2D savings per solve on
+    PCIe-or-worse transports. Device arrays pass through untouched."""
+    if not isinstance(mask, np.ndarray):
+        return jnp.asarray(mask, bool)
+    shape = mask.shape
+    packed = np.packbits(mask.reshape(-1))  # zero-pads the tail byte
+    return _unpack_bits_device(jnp.asarray(packed), shape)

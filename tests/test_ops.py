@@ -270,6 +270,19 @@ class TestMasks:
         x = np.array([[255, 0]], dtype=np.uint8)
         np.testing.assert_allclose(np.asarray(normalize(jnp.asarray(x), 255)), [[1.0, 0.0]])
 
+    @pytest.mark.parametrize("shape", [(1, 1), (3, 5), (64, 64), (17, 33)])
+    def test_push_fetch_mask_roundtrip(self, shape):
+        from satellite_approximation_tpu.ops.masks import fetch_mask, push_mask
+
+        rng = np.random.default_rng(int(np.prod(shape)))
+        m = rng.random(shape) < 0.37
+        up = push_mask(m)  # H2D at 1 bit/px
+        assert up.dtype == jnp.bool_ and up.shape == shape
+        np.testing.assert_array_equal(np.asarray(up), m)
+        np.testing.assert_array_equal(fetch_mask(up), m)  # D2H at 1 bit/px
+        # device arrays pass through unchanged
+        np.testing.assert_array_equal(np.asarray(push_mask(up)), m)
+
 
 class TestPitFillHost:
     def test_host_orchestrated_matches_jit(self):
