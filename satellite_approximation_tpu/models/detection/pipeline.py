@@ -344,12 +344,16 @@ def detect(
             alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
     with timer.stage("beta map"):
         if use_jax_refinement:
+            # device_output: beta's only consumers (histogram scatter-adds,
+            # final-mask sampling) are device programs — never round-trip
+            # the ~482 MB full-tile f32 raster over the link
             beta = refinement_jax.beta_map_jax(
                 match.shadows,
                 match.solutions,
                 generated.blended_cloud_probability,
                 diagonal_distance,
                 config.refinement,
+                device_output=True,
             )
         else:
             beta = refinement.beta_map(
@@ -359,10 +363,10 @@ def detect(
                 diagonal_distance,
                 config.refinement,
             )
-        if dev_refine:
-            import jax.numpy as jnp
+            if dev_refine:
+                import jax.numpy as jnp
 
-            beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
+                beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
     with timer.stage("probability surface"):
         if dev_refine:
             surface = refinement_jax.probability_map_jax(

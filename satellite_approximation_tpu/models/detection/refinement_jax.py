@@ -10,9 +10,10 @@ tests/test_refinement_jax.py:
   statically-shaped influence windows (the same bucket strategy as
   matching) and evaluated by ONE fused program per bucket: an exact
   integer Euclidean distance transform (column scan + row min-plus
-  reduction — no data-dependent control flow), the quadratic radial
-  falloff, the f64 inverse-cast back-projection of the blurred CLP, and a
-  max-composite carried through ``lax.scan``;
+  reduction, BANDED to the bucket's influence radius — no data-dependent
+  control flow), the quadratic radial falloff, the f64 inverse-cast
+  back-projection of the blurred CLP, and a max-composite carried
+  through ``lax.scan``;
 * :func:`probability_map_jax` — the raster-sized histogram accumulation
   (ProbabilityRefinement.cpp:137-151) as device scatter-adds; the TINY
   (d<=128 squared) sequential hole-fill and surface composite stay on the
@@ -49,7 +50,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...config import RefinementConfig
-from ...ops.masks import fetch_mask
+from ...ops.masks import fetch_mask, push_mask
 from ...ops import geometry
 from .matching import OptimalSolution, ShadowObject, _bucket_size
 from .refinement import _border_mask
@@ -72,14 +73,20 @@ def alpha_map_jax(nir_difference, alpha_a: float = 17.0, alpha_b: float = 0.007)
     return f(x - jnp.float32(0.5)) - f(jnp.float32(-0.5))
 
 
-def _edt_sq(seeds, extent_h, extent_w):
-    """Exact squared Euclidean distance to the nearest seed, i32.
+def _edt_sq(seeds, extent_h, extent_w, band: int | None = None):
+    """Squared Euclidean distance to the nearest seed, i32 — exact up to
+    ``band`` (exact everywhere when band is None).
 
     Two-phase separable EDT without data-dependent control flow:
     phase 1 scans each column for the nearest seed row (cummax of seed row
-    indices, both directions); phase 2 is a min-plus reduction over columns
-    in chunks — O(hb * wb^2 / VPU) with (hb, wb, chunk) working sets.
-    """
+    indices, both directions); phase 2 is a min-plus reduction over column
+    OFFSETS in chunks, banded to |offset| <= band. Any pixel whose true
+    distance exceeds ``band`` gets SOME value > band^2 (the banded min is
+    over a candidate subset, so it only over-estimates); callers that
+    threshold at a distance <= band (beta's influence radius is clipped to
+    beta_max_distance) therefore see exact results. Cost drops from
+    O(hb * wb^2) to O(hb * wb * band) — ~12x at 2048-wide buckets for the
+    default 80 px radius."""
     hb, wb = seeds.shape
     rows = lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
     in_ext = (rows < extent_h) & (
@@ -96,24 +103,34 @@ def _edt_sq(seeds, extent_h, extent_w):
     g = jnp.minimum(jnp.minimum(above, below), _NO_SEED)  # (hb, wb) i32
     g2 = g * g
 
-    cols = jnp.arange(wb, dtype=jnp.int32)
-    # bucket widths are powers of two, so the chunk always divides wb and
-    # dynamic_slice never clamps
-    chunk = min(_EDT_CHUNK, wb)
+    big = jnp.int32(2**30)
+    b_eff = wb - 1 if band is None else min(int(band), wb - 1)
+    n_off = 2 * b_eff + 1  # offsets -b_eff..+b_eff
+    chunk = min(_EDT_CHUNK, n_off)
+    n_steps = -(-n_off // chunk)
+    # pad so offset slabs (and the chunk tail) never leave the buffer;
+    # padded candidates carry `big` (no overflow: big + band^2 < 2^31)
+    g2p = jnp.pad(
+        g2, ((0, 0), (b_eff, b_eff + n_steps * chunk - n_off)),
+        constant_values=big,
+    )
+    offs = jnp.arange(chunk, dtype=jnp.int32)
 
     def step(k, acc):
-        x0 = k * chunk
-        gsl = lax.dynamic_slice(g2, (0, x0), (hb, chunk))  # (hb, c)
-        xs = x0 + jnp.arange(chunk, dtype=jnp.int32)  # (c,)
-        dx = cols[:, None] - xs[None, :]  # (wb, c)
-        cand = dx[None, :, :] * dx[None, :, :] + gsl[:, None, :]  # (hb, wb, c)
-        return jnp.minimum(acc, cand.min(axis=-1))
+        i0 = k * chunk
+        sl = lax.dynamic_slice(g2p, (0, i0), (hb, wb + chunk - 1))
+        # slab c is g2 shifted by offset (i0 + c - b_eff); static slices
+        cand = jnp.stack([sl[:, c : c + wb] for c in range(chunk)], axis=-1)
+        d = i0 + offs - jnp.int32(b_eff)
+        return jnp.minimum(acc, (cand + d * d).min(axis=-1))
 
-    acc0 = jnp.full((hb, wb), jnp.int32(2**30))
-    return lax.fori_loop(0, wb // chunk, step, acc0)
+    acc0 = jnp.full((hb, wb), big)
+    return lax.fori_loop(0, n_steps, step, acc0)
 
 
-@functools.partial(jax.jit, static_argnames=("hb", "wb", "height", "width"))
+@functools.partial(
+    jax.jit, static_argnames=("hb", "wb", "height", "width", "band")
+)
 def _beta_bucket(
     clp_f,  # (H, W) f32, flipped rows (bottom-origin), shared
     ret_f,  # (H + hb, W + wb) f32 carry, flipped + padded
@@ -131,6 +148,7 @@ def _beta_bucket(
     wb: int,
     height: int,
     width: int,
+    band: int | None = None,  # EDT exactness horizon >= max influence radius
 ):
     """Max-composite the radial-falloff contributions of one bucket of
     shadows into ``ret_f`` (ProbabilityRefinement.cpp:29-106), sequentially
@@ -143,7 +161,7 @@ def _beta_bucket(
         ix0, iy0 = anc[0], anc[1]
         ih, iw = ext[0], ext[1]
 
-        d2 = _edt_sq(bord, ih, iw)
+        d2 = _edt_sq(bord, ih, iw, band=band)
         dist = jnp.sqrt(d2.astype(jnp.float64)).astype(jnp.float32)
         dist = jnp.where(shadow, jnp.float32(0.0), dist)
         within = dist <= inf
@@ -195,9 +213,15 @@ def beta_map_jax(
     clp_blended: np.ndarray,
     diagonal: float,
     config: RefinementConfig = RefinementConfig(),
+    device_output: bool = False,
 ) -> np.ndarray:
     """Device beta map: same contract as :func:`refinement.beta_map`,
-    evaluated as one fused XLA program per window-size bucket."""
+    evaluated as one fused XLA program per window-size bucket.
+
+    ``device_output=True`` keeps the result on device (its only consumers
+    — histogram scatter-adds and final-mask sampling — are device programs;
+    a full-tile f32 beta raster is ~482 MB, a D2H + re-upload round-trip
+    the all-device pipeline route must never pay)."""
     h, w = clp_blended.shape
     sx, sy = geometry.sides((h, w), diagonal)
     # flip on device: a device-resident CLP (the all-device pipeline route)
@@ -256,6 +280,13 @@ def beta_map_jax(
 
     for (hb, wb), members in buckets.items():
         pad = lambda a: np.pad(a, ((0, hb - a.shape[0]), (0, wb - a.shape[1])))
+        # EDT band: the largest influence radius in the bucket, rounded up
+        # to a power of two so distinct scenes share compiled programs.
+        # Distances beyond the radius contribute factor 0, so banding is
+        # exact (see _edt_sq) — with the default config this is 128 vs
+        # bucket widths up to 4096
+        need = int(np.ceil(max(it["inf"] for it in members))) + 1
+        band = max(_bucket_size(need), need)  # never under-band (exactness)
         ret = _beta_bucket(
             clp_j,
             ret,
@@ -269,8 +300,10 @@ def beta_map_jax(
             jnp.asarray(np.stack([it["minv"] for it in members]), jnp.float64),
             jnp.float64(sx),
             jnp.float64(sy),
-            hb=hb, wb=wb, height=h, width=w,
+            hb=hb, wb=wb, height=h, width=w, band=band,
         )
+    if device_output:
+        return jnp.flipud(ret[:h, :w])
     return np.flipud(np.asarray(ret[:h, :w])).copy()
 
 
@@ -287,15 +320,32 @@ def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
     a = jnp.asarray(alpha, jnp.float32).ravel()
     b = jnp.asarray(beta, jnp.float32).ravel()
     s = jnp.asarray(shadow_f32, jnp.float32).ravel().astype(jnp.int32)
-    out = []
-    for d in divisions:
-        i = jnp.clip(jnp.floor(a * d).astype(jnp.int32), 0, d - 1)
-        j = jnp.clip(jnp.floor(b * d).astype(jnp.int32), 0, d - 1)
-        cell = i + d * j
-        counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(1)
-        sums = jnp.zeros((d * d,), jnp.int32).at[cell].add(s)
-        out.append((counts.reshape(d, d), sums.reshape(d, d)))
-    return tuple(out)
+
+    def agg(h, k):  # exact (d*k, d*k) -> (d, d) block sum, stays i32
+        d = h.shape[0] // k
+        return h.reshape(d, k, d, k).sum(axis=(1, 3))
+
+    # Raster-scale scatter-adds are the expensive op here (~2 s each at
+    # full tile on TPU); the default divisions are nested, and
+    # clip(floor(a*dk), 0, dk-1) // k == clip(floor(a*d), 0, d-1) for any
+    # integer k >= 1 (floor-division identity; clipping maps the a >= 1
+    # and a < 0 tails consistently at every level) — so each division
+    # whose value divides an already-computed finer one is derived by an
+    # exact tiny block-sum instead of another pass over the raster.
+    computed: dict[int, tuple] = {}
+    for d in sorted(set(divisions), reverse=True):
+        src = next((p for p in computed if p % d == 0), None)
+        if src is not None:
+            k = src // d
+            computed[d] = tuple(agg(h, k) for h in computed[src])
+        else:
+            i = jnp.clip(jnp.floor(a * d).astype(jnp.int32), 0, d - 1)
+            j = jnp.clip(jnp.floor(b * d).astype(jnp.int32), 0, d - 1)
+            cell = i + d * j
+            counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(1)
+            sums = jnp.zeros((d * d,), jnp.int32).at[cell].add(s)
+            computed[d] = (counts.reshape(d, d), sums.reshape(d, d))
+    return tuple(computed[d] for d in divisions)
 
 
 def probability_map_jax(
@@ -315,7 +365,9 @@ def probability_map_jax(
     hists = _histograms_jax(
         jnp.asarray(alpha).astype(jnp.float32),
         jnp.asarray(beta).astype(jnp.float32),
-        jnp.asarray(shadow_mask).astype(jnp.float32),
+        # host bool masks cross the link bit-packed (120 MB -> 15 MB at
+        # full tile); device arrays pass through untouched
+        push_mask(shadow_mask).astype(jnp.float32),
         tuple(config.histogram_divisions),
     )
     elements = [
@@ -375,8 +427,8 @@ def improved_shadow_mask_jax(
         jnp.asarray(ext),
         jnp.asarray(alpha).astype(jnp.float32),
         jnp.asarray(beta).astype(jnp.float32),
-        jnp.asarray(object_shadow_mask).astype(bool),
-        jnp.asarray(cloud_mask).astype(bool),
+        push_mask(object_shadow_mask),  # bit-packed H2D for host masks
+        push_mask(cloud_mask),
         jnp.float32(threshold),
     )
     return fetch_mask(out)

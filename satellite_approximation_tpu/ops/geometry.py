@@ -299,14 +299,46 @@ def _ls_reduce_device(zen_deg, azi_deg, h: int, w: int, sx: float, sy: float):
     return m3, b3, n
 
 
+_ANGLE_QUANT_BYTES = 1 << 26  # quantize uploads above 64 MB per raster
+
+
+def _push_angles(deg, quantize: bool):
+    """Upload a host degree raster for the device LS reduction.
+
+    Above ``_ANGLE_QUANT_BYTES`` (and when the input is a finite host f32
+    raster) the raster crosses the link u16-quantized with a per-raster
+    affine range: 65535 steps over the actual span, so a full-tile
+    sun-azimuth field spanning a few degrees dequantizes to ~1e-4 deg
+    (~2e-6 rad of direction — centimeters of shadow displacement at any
+    cloud height, far inside the sweep's 25 m height quantization) while
+    H2D bytes halve. Small rasters and device arrays stay exact f32."""
+    import jax.numpy as jnp
+
+    if (
+        not quantize
+        or not isinstance(deg, np.ndarray)
+        or deg.nbytes < _ANGLE_QUANT_BYTES
+    ):
+        return jnp.asarray(deg, jnp.float32)
+    lo = float(np.min(deg))
+    hi = float(np.max(deg))
+    if not (np.isfinite(lo) and np.isfinite(hi)) or hi - lo < 1e-12:
+        return jnp.asarray(deg, jnp.float32)
+    scale = (hi - lo) / 65535.0
+    q = np.rint((deg - np.float32(lo)) * np.float32(1.0 / scale)).astype(np.uint16)
+    return jnp.asarray(q).astype(jnp.float32) * jnp.float32(scale) + jnp.float32(lo)
+
+
 def ls_point_equal_to_device(
-    zenith_deg, azimuth_deg, shape_hw: tuple[int, int], diagonal: float, z: float
+    zenith_deg, azimuth_deg, shape_hw: tuple[int, int], diagonal: float, z: float,
+    quantize: bool = True,
 ) -> np.ndarray:
     """Device-reduction variant of :func:`ls_point_equal_to` taking DEGREE
     rasters (radians conversion happens on device too). Only the 3x3
     system + count cross back to the host. Used by the pipeline for
     full-tile scenes; agrees with the host path to f32-direction accuracy
-    (tests/test_detection.py::TestGeometry)."""
+    (tests/test_detection.py::TestGeometry). Big host rasters cross the
+    link u16-quantized (see :func:`_push_angles`)."""
     import functools
 
     import jax
@@ -321,8 +353,8 @@ def ls_point_equal_to_device(
         )
         ls_point_equal_to_device._jit = reduce_jit
     m3, b3, n = reduce_jit(
-        jnp.asarray(zenith_deg, jnp.float32),
-        jnp.asarray(azimuth_deg, jnp.float32),
+        _push_angles(zenith_deg, quantize),
+        _push_angles(azimuth_deg, quantize),
         h=h, w=w, sx=float(sx), sy=float(sy),
     )
     m3 = np.asarray(m3) - float(n) * np.eye(3)

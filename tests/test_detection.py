@@ -228,6 +228,27 @@ class TestGeometry:
             assert dev[2] == pytest.approx(z)
             np.testing.assert_allclose(dev, host, rtol=2e-5)
 
+    def test_ls_point_device_quantized_upload(self, monkeypatch):
+        """The u16-quantized angle upload (the full-tile H2D halving)
+        perturbs the LS solution by less than f32-direction noise: with
+        65535 steps over the raster's own range, direction error is
+        ~2e-6 rad, far below the sweep's 25 m height quantization."""
+        rng = np.random.default_rng(9)
+        h, w = 90, 130
+        zen = (30.0 + 2.0 * rng.random((h, w))).astype(np.float32)
+        azi = (140.0 + 3.0 * rng.random((h, w))).astype(np.float32)
+        monkeypatch.setattr(geometry, "_ANGLE_QUANT_BYTES", 0)
+        # the gate really engages: the pushed raster is not bit-equal f32
+        pushed = np.asarray(geometry._push_angles(zen, True))
+        assert not np.array_equal(pushed, zen)
+        np.testing.assert_allclose(pushed, zen, atol=3.1e-5 * (zen.max() - zen.min()))
+        for z in (1.5e9, 785.0):
+            exact = geometry.ls_point_equal_to_device(
+                zen, azi, (h, w), 25.0, z, quantize=False
+            )
+            quant = geometry.ls_point_equal_to_device(zen, azi, (h, w), 25.0, z)
+            np.testing.assert_allclose(quant, exact, rtol=1e-4)
+
 
 class TestNoCloudScene:
     def test_detect_stages_handle_empty_clouds(self):

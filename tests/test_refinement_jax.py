@@ -158,6 +158,52 @@ class TestBetaMap:
         np.testing.assert_array_equal(final_dev, final_h)
 
 
+class TestBandedEDT:
+    def test_banded_matches_full_within_band(self):
+        """The banded min-plus pass is exact for true distances <= band and
+        only over-estimates (> band^2) beyond it — the property beta relies
+        on to band the EDT at the influence radius."""
+        rng = np.random.default_rng(11)
+        seeds = rng.random((96, 160)) < 0.003
+        seeds[:, :40] = False  # a seed-free strip wider than the band
+        full = np.asarray(refinement_jax._edt_sq(seeds, 96, 160, band=None))
+        for band in (8, 16, 33):
+            banded = np.asarray(refinement_jax._edt_sq(seeds, 96, 160, band=band))
+            near = full <= band * band
+            np.testing.assert_array_equal(banded[near], full[near])
+            assert (banded >= full).all()  # subset min never under-estimates
+            assert (banded[~near] > band * band).all()
+
+    def test_beta_narrow_band_matches_host(self):
+        """Force band << window width (big window, small beta_max_distance)
+        and assert device beta still matches the host oracle exactly where
+        it matters."""
+        from satellite_approximation_tpu.config import RefinementConfig
+
+        rng = np.random.default_rng(7)
+        h, w = 140, 220
+        clp = rng.random((h, w)).astype(np.float32)
+        win = np.zeros((100, 180), bool)
+        win[8:92:7, 6:174] = True  # sparse stripes: long internal borders
+        ys, xs = np.nonzero(win)
+        anchor = (10, 20)
+        bounds = (
+            anchor[0] + xs.min(), anchor[1] + ys.min(),
+            anchor[0] + xs.max(), anchor[1] + ys.max(),
+        )
+        shadows = {
+            3: matching.ShadowObject(
+                id=3, bounds=bounds, area=int(win.sum()), window=win, anchor=anchor
+            )
+        }
+        solutions = {3: matching.OptimalSolution(height=1.0, similarity=0.8, M=np.eye(4), id=3)}
+        cfg = RefinementConfig(beta_max_distance=12.0)
+        host = refinement.beta_map(shadows, solutions, clp, 9.0, cfg)
+        dev = refinement_jax.beta_map_jax(shadows, solutions, clp, 9.0, cfg)
+        assert host.any()
+        np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
 class TestProbabilitySurfaceJax:
     def test_histograms_match_host_on_random(self):
         """Random (alpha, beta, shadow): device surface == host surface."""
@@ -177,6 +223,27 @@ class TestProbabilitySurfaceJax:
         np.testing.assert_array_equal(
             (dev.alpha_min, dev.beta_min), (host.alpha_min, host.beta_min)
         )
+
+    def test_histograms_non_nested_divisions(self):
+        """Divisions that don't divide a finer one fall back to a direct
+        scatter pass; mixed nested/non-nested configs stay exact vs host."""
+        rng = np.random.default_rng(17)
+        h, w = 96, 133
+        alpha = rng.random((h, w)).astype(np.float32)
+        beta = rng.random((h, w)).astype(np.float32)
+        shadow = rng.random((h, w)) < 0.3
+        divisions = (8, 12, 48, 128)  # 12 and 48 don't divide 128
+        dev = refinement_jax._histograms_jax(alpha, beta, shadow.astype(np.float32), divisions)
+        for (dc, ds), d in zip(dev, divisions):
+            i = np.clip(np.floor(alpha * d).astype(np.int64), 0, d - 1)
+            j = np.clip(np.floor(beta * d).astype(np.int64), 0, d - 1)
+            cell = (i + d * j).ravel()
+            hc = np.bincount(cell, minlength=d * d).reshape(d, d)
+            hs = np.bincount(
+                cell, weights=shadow.ravel().astype(np.float64), minlength=d * d
+            ).reshape(d, d)
+            np.testing.assert_array_equal(np.asarray(dc), hc)
+            np.testing.assert_array_equal(np.asarray(ds), hs.astype(np.int64))
 
     def test_final_sampling_matches_host_on_random(self):
         rng = np.random.default_rng(13)
