@@ -416,7 +416,16 @@ def _bucket_detail(
         by0 = jnp.min(jnp.where(hit, py, big))
         bx1 = jnp.max(jnp.where(hit, px, -big))
         by1 = jnp.max(jnp.where(hit, py, -big))
-        return t, c, hit, bx0, by0, bx1, by1
+        # hit windows cross the link bit-packed (big-endian per 8-column
+        # block, np.unpackbits(axis=-1)-compatible; wb is a power of two
+        # >= 8) — the windows dominate the detail fetch bytes
+        shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+        packed = (
+            (hit.reshape(hb, wb // 8, 8).astype(jnp.uint8) << shifts)
+            .sum(axis=-1)
+            .astype(jnp.uint8)
+        )
+        return t, c, packed, bx0, by0, bx1, by1
 
     return jax.vmap(one_cloud)(ids, min_x, min_y, max_x, max_y, a2, delta)
 
@@ -727,8 +736,10 @@ def match_clouds_shadows(
                     wb=wb, hb=hb, width=wdt, height=hgt, pf=pf,
                 )
             with timer.stage(f"matching/detail fetch {wb}x{hb}"):
-                # one batched D2H: per-array fetches each pay a tunnel RTT
-                t_arr, c_arr, hits, bx0, by0, bx1, by1 = jax.device_get(detail)
+                # one batched D2H: per-array fetches each pay a tunnel RTT;
+                # hit windows arrive bit-packed, unpack at memory speed
+                t_arr, c_arr, hits_u8, bx0, by0, bx1, by1 = jax.device_get(detail)
+                hits = np.unpackbits(hits_u8, axis=-1).astype(bool)
 
             for n, k in enumerate(sel):
                 cid = clouds[k].id
