@@ -27,12 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from satellite_approximation_tpu.ops.pallas_kernels import (
-    STRIP, HALO_R, WINR, HALO_C, fused_jacobi_tpu,
+    HALO_R, HALO_C, fused_jacobi_tpu,
 )
 
 # Narrower column tile than v1's 2048: double-buffering doubles every VMEM
 # buffer and 2048-wide windows overflow the 16 MB scoped-vmem limit by
 # ~0.9 MB. 1024-wide windows fit with room for the compute temporaries.
+# frozen experiment config (production tiles are now shape-adaptive —
+# see kernel_tiles; this negative-result probe keeps its measured shape)
+STRIP = 112
+WINR = STRIP + 2 * HALO_R
 CTILE = 1024
 
 

@@ -321,7 +321,30 @@ def _prolong(e, fine_shape):
     return up[..., : fine_shape[-2], : fine_shape[-1]]
 
 
-def _v_cycle(levels_j, b, u, lvl, coarse_inv=None):
+def _padded_md_for_levels(levels_j):
+    """Per-level (padded mask, padded deg) for levels the Pallas smoother
+    will take, None elsewhere — built ONCE per solve (outside the PCG
+    while_loop) so each smoother call skips its mask/deg pad copies; the
+    padded u/b state lives inside :func:`_v_cycle`'s padded branch."""
+    from ..ops.pallas_kernels import HALO_R, pad_for_kernel, pallas_available
+
+    sweeps = max(_PRE_SMOOTH + 1, _POST_SMOOTH)
+    out = []
+    for um, deg in levels_j:
+        h, w = um.shape[-2], um.shape[-1]
+        if pallas_available() and h * w >= 512 * 512 and sweeps <= HALO_R:
+            out.append(
+                (
+                    pad_for_kernel(um, h, w),
+                    pad_for_kernel(deg, h, w, value=1.0),
+                )
+            )
+        else:
+            out.append(None)
+    return tuple(out)
+
+
+def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
     um, deg = levels_j[lvl]
     if lvl == len(levels_j) - 1:
         if coarse_inv is not None:
@@ -359,13 +382,50 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None):
         return u
 
     pre = _smoother_omegas(_PRE_SMOOTH)
+    post = tuple(reversed(_smoother_omegas(_POST_SMOOTH)))
+    pmd = padded_md[lvl] if padded_md is not None else None
+    if pmd is not None and _use_pallas(u, len(pre), extra_ring=1):
+        # padded-resident level: u/b stay in the kernel's padded layout
+        # across both smoother passes, so only b pays a materialized pad
+        # (u starts as padded zeros; mask/deg were padded once per solve by
+        # _padded_md_for_levels; the output slice fuses into its consumer).
+        # Bit-identical to the plain path — the kernel sees the same
+        # windows (tests/test_pallas.py::TestPaddedIO) — but drops ~5 GB of
+        # pad/slice copy traffic per V-cycle at full-tile scale
+        # (benchmarks/x_lane_align.py measured the pads at ~40% of each
+        # smoother call's wall time).
+        from ..ops.pallas_kernels import (
+            fused_jacobi_tpu_padded,
+            pad_for_kernel,
+            slice_from_kernel,
+        )
+
+        ump, degp = pmd
+        h, w = um.shape[-2], um.shape[-1]
+        up = pad_for_kernel(u, h, w)
+        bp = pad_for_kernel(b, h, w)
+        up, rp = fused_jacobi_tpu_padded(
+            up, bp, ump, degp, h, w, sweeps=len(pre), omega=pre, emit_residual=True
+        )
+        r = slice_from_kernel(rp, h, w)
+        um_c, _ = levels_j[lvl + 1]
+        r_c = _restrict(r) * um_c.astype(r.dtype)
+        e_c = _v_cycle(
+            levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md
+        )
+        corr = _prolong(e_c, u.shape) * um.astype(u.dtype)
+        up = up + pad_for_kernel(corr, h, w)  # pad fuses into the add
+        up = fused_jacobi_tpu_padded(
+            up, bp, ump, degp, h, w, sweeps=len(post), omega=post
+        )
+        return slice_from_kernel(up, h, w)
     u, r = _smooth_residual(u, b, um, deg, pre)
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
-    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv)
+    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md)
     u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
     # reversed weights = the transpose smoother (see _smoother_omegas)
-    u = _smooth(u, b, um, deg, tuple(reversed(_smoother_omegas(_POST_SMOOTH))))
+    u = _smooth(u, b, um, deg, post)
     return u
 
 
@@ -392,6 +452,9 @@ def _pcg_core(
     # contraction: 89 vs 23 PCG iterations at 2048^2, 29 vs 17 at 10980^2,
     # and bf16 loses on wall clock at both sizes. Default is f32.
     levels_16 = tuple((m_, d_.astype(precond_dtype)) for m_, d_ in levels_j)
+    # mask/deg pads for the padded-resident Pallas levels, built once per
+    # solve — the while_loop body below reuses them every iteration
+    padded_md = _padded_md_for_levels(levels_16)
 
     def precond(r):
         z16 = _v_cycle(
@@ -400,6 +463,7 @@ def _pcg_core(
             jnp.zeros(r.shape, precond_dtype),
             0,
             coarse_inv,
+            padded_md,
         )
         return z16.astype(r.dtype)
 

@@ -9,10 +9,16 @@ sweep — and DMAs only the interior back. ~K-fold less HBM traffic on the
 smoother, which dominates every multigrid V-cycle.
 
 Implementation notes for this environment:
-* windows are (STRIP+2*HALO_R) x (CTILE+2*HALO_C) with HALO_C=64 so every
-  DMA slice and start offset is 128-aligned in the lane dimension (Mosaic
-  requirement); column tiling keeps VMEM bounded for arbitrarily wide
-  images (a full-width 10980-strip window would need 26MB of VMEM);
+* windows are (strip+2*HALO_R) x (ctile+2*HALO_C) with HALO_C=128 (one
+  full lane tile) so every DMA slice START — including the padded-IO
+  variant's interior-offset output writes — is 128-aligned in the lane
+  dimension (Mosaic requirement; 64 satisfied the plain mode's reads but
+  not the padded writes at offset HALO_C + j*ctile); (strip, ctile) are
+  chosen PER SHAPE by :func:`kernel_tiles` to minimize streamed window
+  area — fixed tiles either waste VMEM-window halo on small images or
+  pad small widths up to the tile (a fixed ctile=4096 doubles the
+  traffic of a 2048-wide level); column tiling keeps VMEM bounded for
+  arbitrarily wide images;
 * the kernel is GRID-FREE — one program loops (channel, strip, coltile)
   with explicit HBM<->VMEM DMAs. The axon remote-compile toolchain on this
   host fails to legalize any gridded pallas_call (even trivial ones);
@@ -33,22 +39,49 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-STRIP = 112  # interior rows per strip (divisible by 8)
-HALO_R = 8
-WINR = STRIP + 2 * HALO_R  # 128 rows per VMEM window
-HALO_C = 64  # column halo: keeps every DMA offset/extent 128-aligned
-CTILE = 2048  # interior columns per tile (multiple of 128)
+HALO_R = 8  # row halo: sweeps+residual ring must fit (sublane-tile multiple)
+HALO_C = 128  # column halo = one lane tile: every DMA start stays aligned
+_STRIP_MAX = 240  # interior rows per strip, multiple of 8
+_CTILE_MAX = 4096  # interior columns per tile, multiple of 128
+# v5e cores carry 128 MB of VMEM; the toolchain's 16 MB scoped default was
+# what forced the old 112x2048 windows. 64 MB comfortably fits the
+# largest 256x4352 windows (~36 MB peak) while leaving headroom for Mosaic.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_tiles(h: int, w: int) -> tuple[int, int]:
+    """(strip, ctile) for a logical (h, w) image: the interior tile sizes
+    minimizing total streamed window area ceil(n/t) * (t + 2*halo) — i.e.
+    the exact halo-amplification + trailing-pad tradeoff — subject to the
+    hardware alignment steps (8 sublanes / 128 lanes) and the VMEM caps.
+    Ties break to the LARGER tile (fewer DMA round trips)."""
+
+    def pick(n: int, step: int, halo: int, cap: int) -> int:
+        best_cost, best_t = None, step
+        for t in range(step, cap + 1, step):
+            cost = -(-n // t) * (t + 2 * halo)
+            if best_cost is None or cost <= best_cost:
+                best_cost, best_t = cost, t
+        return best_t
+
+    return pick(h, 8, HALO_R, _STRIP_MAX), pick(w, 128, HALO_C, _CTILE_MAX)
 
 
 def _kernel_factory(
     sweeps: int,
     omega,
-    winc: int,
+    strip: int,
+    ctile: int,
     n_strips: int,
     n_ctiles: int,
     channels: int,
     emit_residual: bool = False,
+    out_off_r: int = 0,
+    out_off_c: int = 0,
 ):
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
     # scalar omega = classic damped Jacobi; a tuple gives each sweep its
     # own weight (Chebyshev polynomial smoothing, models/multigrid)
     omegas = omega if isinstance(omega, tuple) else (float(omega),) * sweeps
@@ -62,22 +95,22 @@ def _kernel_factory(
         one = jnp.int32(1)
 
         def tile_body(ci, i, j, carry):
-            r0 = i * jnp.int32(STRIP)
-            c0 = j * jnp.int32(CTILE)
+            r0 = i * jnp.int32(strip)
+            c0 = j * jnp.int32(ctile)
 
             idx = [jnp.int32(t) for t in range(6)]
             copies = [
                 pltpu.make_async_copy(
-                    u_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)], su, sems.at[idx[0]]
+                    u_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)], su, sems.at[idx[0]]
                 ),
                 pltpu.make_async_copy(
-                    b_hbm.at[ci, pl.ds(r0, WINR), pl.ds(c0, winc)], sb, sems.at[idx[1]]
+                    b_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)], sb, sems.at[idx[1]]
                 ),
                 pltpu.make_async_copy(
-                    m_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)], sm, sems.at[idx[2]]
+                    m_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)], sm, sems.at[idx[2]]
                 ),
                 pltpu.make_async_copy(
-                    d_hbm.at[pl.ds(r0, WINR), pl.ds(c0, winc)], sd, sems.at[idx[3]]
+                    d_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)], sd, sems.at[idx[3]]
                 ),
             ]
             for cp in copies:
@@ -91,13 +124,20 @@ def _kernel_factory(
             m = sm[:, :].astype(jnp.float32)
             deg = sd[:, :].astype(jnp.float32)
             b = sb[:, :].astype(jnp.float32)
-            inv = jnp.where(deg > 0, 1.0 / deg, 0.0) * m
+            inv0 = jnp.where(deg > 0, 1.0 / deg, 0.0)
+            unknown = m > 0
 
+            # masking is SELECT-based, not multiply-based: where(m>0, u, 0)
+            # equals u*m bit-for-bit at mask 1/0 values, but a select also
+            # annihilates non-finite garbage (NaN*0 = NaN would not) — this
+            # is what lets the padded-IO variant leave its output rims
+            # uninitialized and still chain safely (rim bytes can be any
+            # bit pattern; every read path runs through a select)
             def neighbor_sum(u):
-                um = u * m
+                um = jnp.where(unknown, u, 0.0)
                 return (
                     pltpu.roll(um, one, 0)
-                    + pltpu.roll(um, jnp.int32(WINR - 1), 0)
+                    + pltpu.roll(um, jnp.int32(winr - 1), 0)
                     + pltpu.roll(um, one, 1)
                     + pltpu.roll(um, jnp.int32(winc - 1), 1)
                 )
@@ -107,12 +147,16 @@ def _kernel_factory(
             u = su[:, :].astype(jnp.float32)
             for om in omegas:
                 au = deg * u - neighbor_sum(u)
-                u = u + om * (b - au) * inv
-            so[:, :] = u[HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE].astype(
+                u = jnp.where(unknown, u + om * (b - au) * inv0, u)
+            so[:, :] = u[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile].astype(
                 so.dtype
             )
+            oro = jnp.int32(out_off_r)
+            oco = jnp.int32(out_off_c)
             out_cp = pltpu.make_async_copy(
-                so, out_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[4]]
+                so,
+                out_hbm.at[ci, pl.ds(oro + r0, strip), pl.ds(oco + c0, ctile)],
+                sems.at[idx[4]],
             )
             out_cp.start()
             if emit_residual:
@@ -120,12 +164,14 @@ def _kernel_factory(
                 # window — interior needs one more exact ring, so
                 # sweeps + 1 <= HALO_R (asserted by the caller)
                 au = deg * u - neighbor_sum(u)
-                res = (b - au) * m
+                res = jnp.where(unknown, b - au, 0.0)
                 sr[:, :] = res[
-                    HALO_R : HALO_R + STRIP, HALO_C : HALO_C + CTILE
+                    HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile
                 ].astype(sr.dtype)
                 res_cp = pltpu.make_async_copy(
-                    sr, res_hbm.at[ci, pl.ds(r0, STRIP), pl.ds(c0, CTILE)], sems.at[idx[5]]
+                    sr,
+                    res_hbm.at[ci, pl.ds(oro + r0, strip), pl.ds(oco + c0, ctile)],
+                    sems.at[idx[5]],
                 )
                 res_cp.start()
                 res_cp.wait()
@@ -167,9 +213,11 @@ def fused_jacobi_tpu(
     if isinstance(omega, tuple):
         assert len(omega) == sweeps
     c, h, w = u.shape
-    hp = -(-h // STRIP) * STRIP
-    wp = -(-w // CTILE) * CTILE
-    winc = CTILE + 2 * HALO_C
+    strip, ctile = kernel_tiles(h, w)
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    hp = -(-h // strip) * strip
+    wp = -(-w // ctile) * ctile
 
     def pad_img(x, value=0.0):
         return jnp.pad(
@@ -185,24 +233,24 @@ def fused_jacobi_tpu(
     mp = pad_img(umask.astype(dtype))
     dp = pad_img(deg.astype(dtype), value=1.0)
 
-    n_strips = hp // STRIP
-    n_ctiles = wp // CTILE
+    n_strips = hp // strip
+    n_ctiles = wp // ctile
     out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
     scratch = [
-        pltpu.VMEM((WINR, winc), dtype),
-        pltpu.VMEM((WINR, winc), dtype),
-        pltpu.VMEM((WINR, winc), dtype),
-        pltpu.VMEM((WINR, winc), dtype),
-        pltpu.VMEM((STRIP, CTILE), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((strip, ctile), dtype),
     ]
     if emit_residual:
-        scratch.append(pltpu.VMEM((STRIP, CTILE), dtype))
+        scratch.append(pltpu.VMEM((strip, ctile), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((6,)))
     out = pl.pallas_call(
         _kernel_factory(
             sweeps,
             omega if isinstance(omega, tuple) else float(omega),
-            winc, n_strips, n_ctiles, c, emit_residual,
+            strip, ctile, n_strips, n_ctiles, c, emit_residual,
         ),
         out_shape=(out_shape, out_shape) if emit_residual else out_shape,
         in_specs=[
@@ -217,11 +265,117 @@ def fused_jacobi_tpu(
             else pl.BlockSpec(memory_space=pl.ANY)
         ),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
     )(up, bp, mp, dp)
     if emit_residual:
         return out[0][:, :h, :w], out[1][:, :h, :w]
     return out[:, :h, :w]
+
+
+def pad_for_kernel(x, h: int, w: int, value: float = 0.0):
+    """Pad a logical (…, h, w) array into the kernel's padded layout:
+    HALO_R/HALO_C front rims, trailing pads to the shape's
+    :func:`kernel_tiles` strip/ctile multiples."""
+    strip, ctile = kernel_tiles(h, w)
+    hp = -(-h // strip) * strip
+    wp = -(-w // ctile) * ctile
+    return jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 2)
+        + [(HALO_R, hp - h + HALO_R), (HALO_C, wp - w + HALO_C)],
+        constant_values=value,
+    )
+
+
+def slice_from_kernel(x, h: int, w: int):
+    """Interior view of a padded-layout array (inverse of pad_for_kernel)."""
+    return x[..., HALO_R : HALO_R + h, HALO_C : HALO_C + w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "sweeps", "omega", "emit_residual")
+)
+def fused_jacobi_tpu_padded(
+    up,
+    bp,
+    umaskp,
+    degp,
+    h: int,
+    w: int,
+    sweeps: int = 8,
+    omega=0.8,
+    emit_residual: bool = False,
+):
+    """Padded-IO variant of :func:`fused_jacobi_tpu`: every operand is
+    already in the kernel's padded layout (:func:`pad_for_kernel`) and the
+    smoothed output comes back in the SAME layout.
+
+    Why this exists: the convenience wrapper pads u/b/mask/deg and slices
+    the output on EVERY call — four materialized pad copies plus a slice,
+    ~5 GB of pure HBM copy traffic per call at full-tile scale, ~40% of
+    the call's wall time (benchmarks/x_lane_align.py). A V-cycle level
+    that keeps its state padded pays the pads once per solve instead.
+
+    Contract (exactness-preserving, verified in tests/test_pallas.py):
+    * interiors of the outputs equal the convenience wrapper's outputs
+      bit-for-bit (identical windows, identical arithmetic);
+    * BOTH outputs' rim/pad cells are UNINITIALIZED garbage (the kernel
+      writes interior tiles only; in-place aliasing is impossible because
+      adjacent strips' windows overlap by the halo). That is safe to
+      chain: the kernel reads every input through mask SELECTS (never
+      mask multiplies), so even NaN rim bytes cannot reach interior
+      results — but any non-kernel consumer must slice the interior
+      (:func:`slice_from_kernel`) first.
+    """
+    assert sweeps + (1 if emit_residual else 0) <= HALO_R
+    if isinstance(omega, tuple):
+        assert len(omega) == sweeps
+    strip, ctile = kernel_tiles(h, w)
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    c, hpad, wpad = up.shape
+    hp = hpad - 2 * HALO_R
+    wp = wpad - 2 * HALO_C
+    assert hp == -(-h // strip) * strip and wp == -(-w // ctile) * ctile, (
+        "padded operands do not match pad_for_kernel's layout for (h, w)",
+        (hpad, wpad), (h, w), (strip, ctile),
+    )
+    dtype = up.dtype
+    out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
+    scratch = [
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((strip, ctile), dtype),
+    ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        _kernel_factory(
+            sweeps,
+            omega if isinstance(omega, tuple) else float(omega),
+            strip,
+            ctile,
+            hp // strip,
+            wp // ctile,
+            c,
+            emit_residual,
+            out_off_r=HALO_R,
+            out_off_c=HALO_C,
+        ),
+        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
+        in_specs=[any_spec] * 4,
+        out_specs=(any_spec, any_spec) if emit_residual else any_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(up, bp.astype(dtype), umaskp.astype(dtype), degp.astype(dtype))
 
 
 def pallas_available() -> bool:

@@ -106,22 +106,24 @@ def row(name: str, seconds: float, bytes_moved: int, note: str = "") -> Roofline
 # ---------------------------------------------------------------------------
 
 
-def _pallas_window_amplification() -> float:
-    """HBM-read amplification of the strip kernel: each (STRIP x CTILE)
-    interior is fetched as a (WINR x winc) window."""
-    from ..ops.pallas_kernels import STRIP, CTILE, WINR, HALO_C
+def _pallas_window_amplification(h: int, w: int) -> float:
+    """HBM-read amplification of the strip kernel: each (strip x ctile)
+    interior is fetched as a haloed window; tiles are shape-adaptive
+    (ops.pallas_kernels.kernel_tiles)."""
+    from ..ops.pallas_kernels import HALO_C, HALO_R, kernel_tiles
 
-    winc = CTILE + 2 * HALO_C
-    return (WINR * winc) / (STRIP * CTILE)
+    strip, ctile = kernel_tiles(h, w)
+    return ((strip + 2 * HALO_R) * (ctile + 2 * HALO_C)) / (strip * ctile)
 
 
 def _pallas_padded_pixels(h: int, w: int) -> int:
     """Interior pixels after padding h, w up to strip/tile multiples —
     the kernel streams the padded grid, not the logical one."""
-    from ..ops.pallas_kernels import STRIP, CTILE
+    from ..ops.pallas_kernels import kernel_tiles
 
-    hp = -(-h // STRIP) * STRIP
-    wp = -(-w // CTILE) * CTILE
+    strip, ctile = kernel_tiles(h, w)
+    hp = -(-h // strip) * strip
+    wp = -(-w // ctile) * ctile
     return hp * wp
 
 
@@ -143,7 +145,7 @@ def smoother_bytes(
     replaces it with a quarter-size write.
     """
     px = _pallas_padded_pixels(h, w)
-    amp = _pallas_window_amplification()
+    amp = _pallas_window_amplification(h, w)
     reads = 4 * px * amp * dtype_bytes * channels  # u, b, m, d windows
     writes = px * dtype_bytes * channels
     if emit_residual:

@@ -12,13 +12,18 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("SAT_TPU_TESTS") == "1":
+    # opt-out: keep the session's default backend (the real TPU) so the
+    # Pallas kernel tests run for real — `SAT_TPU_TESTS=1 pytest tests/test_pallas.py`
+    import jax  # noqa: F401
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
