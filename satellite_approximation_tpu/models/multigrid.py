@@ -307,16 +307,37 @@ def _restrict(r):
     full-tile PCG iteration (15x their HBM traffic bound)."""
     h, w = r.shape[-2], r.shape[-1]
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-    pad = [(0, 0)] * (r.ndim - 2) + [(0, ph - h), (0, pw - w)]
+    nb = r.ndim - 2
+    pad = [(0, 0)] * nb + [(0, ph - h), (0, pw - w)]
     rp = jnp.pad(r, pad)
     # rows first, then columns — the same grouping the sharded path
-    # (parallel/mg.py) composes, so both sum bit-identically in f32
-    rows = rp[..., 0::2, :] + rp[..., 1::2, :]
+    # (parallel/mg.py) composes, so both sum bit-identically in f32.
+    # The row pass runs as a sublane-only reduce_window: same pair sums
+    # as rp[0::2] + rp[1::2] bit-for-bit, but 4x faster at full tile
+    # (0.90 vs 3.62 ms, benchmarks/x_restrict_axes.py) because the
+    # strided-slice form relayouts. The column pass stays on strided
+    # slices — a lane-dim reduce_window is 20x WORSE (37.9 ms).
+    rows = lax.reduce_window(
+        rp,
+        jnp.zeros((), r.dtype),
+        lax.add,
+        (1,) * nb + (2, 1),
+        (1,) * nb + (2, 1),
+        "VALID",
+    )
     return rows[..., :, 0::2] + rows[..., :, 1::2]
 
 
 def _prolong(e, fine_shape):
-    """P = R^T: piecewise-constant block broadcast back to the fine grid."""
+    """P = R^T: piecewise-constant block broadcast back to the fine grid.
+
+    Stays on jnp.repeat. A dilate(interior-pad)+stride-1-2x2-window-sum
+    formulation measured 2x faster fused with the mask/add consumer
+    (benchmarks/x_transfer3.py), and is value-identical in eager mode —
+    but under jit on this TPU toolchain it MISCOMPILES at coarse sizes
+    >= 512^2 (outputs wrong almost everywhere while eager is exact;
+    guarded by tests/test_pallas.py::TestTransferLowering). Do not
+    reintroduce without that test passing on the real chip."""
     up = jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
     return up[..., : fine_shape[-2], : fine_shape[-1]]
 

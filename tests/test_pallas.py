@@ -129,3 +129,44 @@ class TestPaddedIO:
             max_iterations=60, precond_dtype=jnp.float32,
         )
         assert float(jnp.max(res)) < 1e-8 and int(it) < 60
+
+
+class TestTransferLowering:
+    """Guard against a TPU-toolchain miscompile found in round 3: an
+    interior-pad dilation + stride-1 2x2 reduce_window prolong is exact in
+    eager mode but jit-compiles to wrong values at coarse sizes >= 512^2
+    (nearly every element off). These tests pin the PRODUCTION transfer
+    formulations (multigrid._restrict / _prolong) against numpy oracles
+    at sizes big enough to hit the bad lowering path — they run only on
+    the real chip (SAT_TPU_TESTS=1), where the bug lives."""
+
+    @pytest.mark.parametrize("hw", [(2048, 2048), (1373, 1373)])
+    def test_restrict_matches_numpy(self, hw):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.multigrid import _restrict
+
+        h, w = hw
+        rng = np.random.default_rng(5)
+        r = jnp.asarray(rng.random((1, h, w), dtype=np.float32))
+        got = np.asarray(jax.jit(_restrict)(r))
+        x = np.asarray(r)
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        xp = np.pad(x, [(0, 0), (0, ph - h), (0, pw - w)])
+        rows = xp[:, 0::2, :] + xp[:, 1::2, :]
+        want = rows[:, :, 0::2] + rows[:, :, 1::2]
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("hw", [(1024, 1024), (687, 687)])
+    def test_prolong_matches_numpy(self, hw):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.multigrid import _prolong
+
+        h2, w2 = hw
+        fine = (1, 2 * h2 - 1, 2 * w2)  # odd fine height exercises the slice
+        rng = np.random.default_rng(6)
+        e = jnp.asarray(rng.random((1, h2, w2), dtype=np.float32))
+        got = np.asarray(jax.jit(_prolong, static_argnums=1)(e, fine))
+        want = np.repeat(np.repeat(np.asarray(e), 2, axis=1), 2, axis=2)[
+            :, : fine[-2], : fine[-1]
+        ]
+        np.testing.assert_array_equal(got, want)
