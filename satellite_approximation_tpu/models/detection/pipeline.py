@@ -28,6 +28,22 @@ from . import matching, refinement
 
 _logger = create_logger("detection.pipeline")
 
+_overlap_executor = None
+
+
+def _get_overlap_executor():
+    """Shared 2-worker pool for overlapping independent big-scene stages
+    (angle upload rides the link, cloud partition rides the host CPU, the
+    shadow mask rides the device — disjoint resources, no data deps)."""
+    global _overlap_executor
+    if _overlap_executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _overlap_executor = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="sat-overlap"
+        )
+    return _overlap_executor
+
 
 @dataclasses.dataclass
 class CloudParams:
@@ -235,6 +251,34 @@ def detect(
 
     _logger.debug(" --- Cloud Detection...")
     all_device = device_stages
+
+    # Big-scene device route: the sun/view angle rasters are consumed only
+    # by the LS geometry stage, but their H2D upload is the single largest
+    # link cost of the pipeline (~1 GB u16-quantized at full tile). Start
+    # the read+upload on a worker NOW so it hides behind the cloud/shadow
+    # device stages; results are the same device arrays the serial path
+    # would build, so numerics are bit-identical.
+    overlap = all_device and big_scene
+    angles_fut = None
+
+    def _upload_angles_task():
+        with timer.stage("angle upload (overlapped)"):
+            out = []
+            for apath, what in (
+                (params.sun_zenith_path, "Sun Zenith"),
+                (params.sun_azimuth_path, "Sun Azimuth"),
+                (params.view_zenith_path, "View Zenith"),
+                (params.view_azimuth_path, "View Azimuth"),
+            ):
+                raw = _read_angles(apath, what, inputs, np.float32)
+                out.append(geometry.upload_angles(raw))
+            for arr in out:
+                arr.block_until_ready()
+            return out
+
+    if overlap and not skip_shadow_detection.decision:
+        angles_fut = _get_overlap_executor().submit(_upload_angles_task)
+
     with timer.stage("cloud mask"):
         generated = cm.generate_cloud_mask_ignore_low_probability(
             clp, cld, scl, config.cloud_mask, device_output=all_device
@@ -254,13 +298,27 @@ def detect(
             )
             return status
 
+    if overlap and angles_fut is None:
+        # skip_shadow_detection was armed, so the upload waited for the
+        # cloud-cover verdict; it still overlaps partition + shadow mask
+        angles_fut = _get_overlap_executor().submit(_upload_angles_task)
+
     _logger.debug(" --- Cloud Partitioning...")
-    with timer.stage("cloud partition"):
-        cloud_map, clouds = cm.partition_cloud_mask(
-            generated.cloud_mask_no_processing,
-            diagonal_distance,
-            config.min_cloud_size_for_ray_casting,
-        )
+
+    def _partition_task():
+        with timer.stage("cloud partition"):
+            return cm.partition_cloud_mask(
+                generated.cloud_mask_no_processing,
+                diagonal_distance,
+                config.min_cloud_size_for_ray_casting,
+            )
+
+    if overlap:
+        # host-CPU flood runs on a worker while the device computes the
+        # shadow mask; joined right after (matching needs both)
+        partition_fut = _get_overlap_executor().submit(_partition_task)
+    else:
+        cloud_map, clouds = _partition_task()
 
     _logger.debug(" --- Potential Shadow Mask Generation...")
     with timer.stage("potential shadow mask"):
@@ -272,12 +330,19 @@ def detect(
             device_output=all_device,
         )
 
+    if overlap:
+        with timer.stage("cloud partition (wait)"):
+            cloud_map, clouds = partition_fut.result()
+
     angle_dtype = np.float32  # the LS reduction uses f32 directions
     with timer.stage("read angles"):
-        sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
-        sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs, angle_dtype)
-        view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs, angle_dtype)
-        view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs, angle_dtype)
+        if angles_fut is not None:
+            sun_zenith, sun_azimuth, view_zenith, view_azimuth = angles_fut.result()
+        else:
+            sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
+            sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs, angle_dtype)
+            view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs, angle_dtype)
+            view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs, angle_dtype)
 
     _logger.debug(" --- Solving for Sun and Satellite Position...")
     with timer.stage("sun/view geometry"):

@@ -329,6 +329,17 @@ def _push_angles(deg, quantize: bool):
     return jnp.asarray(q).astype(jnp.float32) * jnp.float32(scale) + jnp.float32(lo)
 
 
+def upload_angles(deg, quantize: bool = True):
+    """Public entry for pre-uploading an angle raster for
+    :func:`ls_point_equal_to_device` — the pipeline starts these uploads on
+    a background thread while the cloud/shadow stages compute, so the link
+    time hides behind device work (the reference reads + processes angles
+    on the critical path, automatic_detection.cpp:134-177). Returns a
+    device array that :func:`ls_point_equal_to_device` passes through
+    unchanged, so results are bit-identical to the serial path."""
+    return _push_angles(deg, quantize)
+
+
 def ls_point_equal_to_device(
     zenith_deg, azimuth_deg, shape_hw: tuple[int, int], diagonal: float, z: float,
     quantize: bool = True,

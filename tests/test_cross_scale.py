@@ -159,3 +159,58 @@ class TestBigSceneRoutesMatchSmallSceneOracle:
         assert status.percent_clouds == pytest.approx(
             ref_status.percent_clouds, abs=1e-6
         )
+
+    def test_all_device_big_scene_overlapped(self, tmp_path, scene, monkeypatch):
+        """backend=jax at big-scene routing runs the OVERLAPPED schedule
+        (background angle upload + concurrent cloud partition,
+        pipeline._upload_angles_task/_partition_task). Pure reordering of
+        independent stages — masks must match the serial oracle exactly as
+        the non-overlapped jax route does."""
+        import dataclasses
+
+        ref_status, ref_masks = _run_detect(tmp_path, scene, "small4")
+
+        monkeypatch.setattr(config_mod, "BIG_SCENE_PIXELS", 1)
+        monkeypatch.setattr(sm, "BIG_SCENE_PIXELS", 1)
+        monkeypatch.setattr(refinement, "BIG_SCENE_PIXELS", 1)
+        work = tmp_path / "jaxoverlap"
+        work.mkdir()
+        write_geotiff(
+            scene["B08"], work / "B08.tif",
+            template_path="/root/reference/test_data/2019-05-22/B08.tif",
+        )
+        params = CloudParams.from_root(work)
+        diag = 100.0 * (N / 10980.0) * 219.0 / 100.0
+        cfg = dataclasses.replace(
+            config_mod.DEFAULT_DETECTION,
+            refinement=dataclasses.replace(
+                config_mod.DEFAULT_DETECTION.refinement, backend="jax"
+            ),
+            matching=dataclasses.replace(
+                config_mod.DEFAULT_DETECTION.matching, backend="jax"
+            ),
+        )
+        from satellite_approximation_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        status = detect(
+            params, diag, use_cache=False, inputs=dict(scene), config=cfg,
+            timer=timer,
+        )
+        stage_names = [name for name, _ in timer.stages]
+        assert "angle upload (overlapped)" in stage_names
+        assert "cloud partition (wait)" in stage_names
+        from PIL import Image
+
+        for name, path in (
+            ("cloud", params.cloud_path()),
+            ("potential", params.shadow_potential_path()),
+            ("object", params.object_based_shadow_path()),
+            ("final", params.shadow_path()),
+        ):
+            got = np.asarray(Image.open(path)).astype(bool)
+            iou = _iou(ref_masks[name], got)
+            assert iou >= 0.995, f"{name} mask IoU {iou} (jax overlapped)"
+        assert status.percent_clouds == pytest.approx(
+            ref_status.percent_clouds, abs=1e-6
+        )
