@@ -645,7 +645,25 @@ def match_clouds_shadows(
             grp = max(1, int(_SWEEP_GROUP_CELLS // (wb * hb)))
             for g0 in range(0, len(members), grp):
                 bucket_groups.append(((wb, hb), members[g0 : g0 + grp]))
-        for (wb, hb), members in bucket_groups:
+        # Pipelined schedule over bucket groups. The device runs programs
+        # in dispatch order on one stream; the old loop blocked on each
+        # bucket's sims D2H before dispatching the next bucket, so the
+        # device idled through every host argmax / detail stream /
+        # window composite (~25 ms RTT + the packed-window fetch per
+        # bucket). Here a 2-deep lookahead keeps sweep programs queued
+        # ahead while the host drains earlier buckets — detail programs
+        # slot in behind at most two buckets of sweeps, and their D2H
+        # streams overlap later sweeps. Same programs, same results.
+        import collections
+
+        pending = collections.deque()
+        group_iter = iter(bucket_groups)
+
+        def _dispatch_group():
+            try:
+                (wb, hb), members = next(group_iter)
+            except StopIteration:
+                return False
             sel = np.asarray(members)
             ids = jnp.asarray([clouds[k].id for k in sel], jnp.int32)
             with timer.stage(f"matching/sweep {wb}x{hb} n={len(sel)}"):
@@ -720,6 +738,15 @@ def match_clouds_shadows(
                                 )
                             )
                     h0 = h1
+            pending.append(((wb, hb), sel, ids, parts))
+            return True
+
+        _LOOKAHEAD = 2
+        for _ in range(_LOOKAHEAD + 1):
+            _dispatch_group()
+        while pending:
+            (wb, hb), sel, ids, parts = pending.popleft()
+            with timer.stage(f"matching/sweep wait {wb}x{hb} n={len(sel)}"):
                 sims = np.concatenate(jax.device_get(parts), axis=0)  # (Nh, Nsel)
             best_idx = np.argmax(sims, axis=0)  # first max, like `>` keeps first
             best_sim = sims[best_idx, np.arange(len(sel))]
@@ -735,6 +762,8 @@ def match_clouds_shadows(
                     delta=jnp.asarray(delta[sel, best_idx], jnp.float32),
                     wb=wb, hb=hb, width=wdt, height=hgt, pf=pf,
                 )
+            # feed the device before blocking on the detail stream
+            _dispatch_group()
             with timer.stage(f"matching/detail fetch {wb}x{hb}"):
                 # one batched D2H: per-array fetches each pay a tunnel RTT;
                 # hit windows arrive bit-packed, unpack at memory speed

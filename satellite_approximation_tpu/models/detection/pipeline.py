@@ -40,7 +40,7 @@ def _get_overlap_executor():
         from concurrent.futures import ThreadPoolExecutor
 
         _overlap_executor = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="sat-overlap"
+            max_workers=3, thread_name_prefix="sat-overlap"
         )
     return _overlap_executor
 
@@ -286,8 +286,23 @@ def detect(
         status.clouds_computed = True
         status.percent_clouds = percent_non_zero(generated.cloud_mask)
         status.percent_invalid = status.percent_clouds
-    with timer.stage("write cloud mask"):
-        _write_mask(generated.cloud_mask, params.cloud_path(), params.nir_path)
+
+    # In the overlapped schedule mask writes (packed D2H fetch + TIFF
+    # encode) run on workers and hide behind later stages; every write is
+    # joined before detect returns, so the on-disk cache contract holds.
+    pending_writes = []
+
+    def _submit_write(arr, out_path, stage_name):
+        def task():
+            with timer.stage(stage_name):
+                _write_mask(arr, out_path, params.nir_path)
+
+        if overlap:
+            pending_writes.append(_get_overlap_executor().submit(task))
+        else:
+            task()
+
+    _submit_write(generated.cloud_mask, params.cloud_path(), "write cloud mask")
 
     if skip_shadow_detection.decision:
         if status.percent_clouds >= skip_shadow_detection.threshold:
@@ -296,6 +311,8 @@ def detect(
                 params.cloud_path().parent,
                 status.percent_clouds * 100,
             )
+            for fut in pending_writes:
+                fut.result()
             return status
 
     if overlap and angles_fut is None:
@@ -329,6 +346,10 @@ def detect(
             config.shadow_mask,
             device_output=all_device,
         )
+
+    # potential-shadow mask is final as soon as the stage ends — its write
+    # hides behind the geometry/matching/refinement stages
+    _submit_write(psm.mask, params.shadow_potential_path(), "write shadow masks")
 
     if overlap:
         with timer.stage("cloud partition (wait)"):
@@ -380,6 +401,12 @@ def detect(
             config.matching,
             timer=timer,
         )
+
+    # object-based shadow mask is final after matching — write it while
+    # the refinement stages compute
+    _submit_write(
+        match.shadow_mask, params.object_based_shadow_path(), "write shadow masks"
+    )
 
     _logger.debug(" --- Generating Probability Function...")
     # device_stages (backend="jax", or "auto" on a TPU at full-tile scale):
@@ -465,10 +492,10 @@ def detect(
     status.percent_invalid = percent_non_zero(total_mask)
 
     _logger.debug("Saving shadow results")
-    with timer.stage("write shadow masks"):
-        _write_mask(psm.mask, params.shadow_potential_path(), params.nir_path)
-        _write_mask(match.shadow_mask, params.object_based_shadow_path(), params.nir_path)
-        _write_mask(final, params.shadow_path(), params.nir_path)
+    _submit_write(final, params.shadow_path(), "write shadow masks")
+    with timer.stage("write shadow masks (wait)"):
+        for fut in pending_writes:
+            fut.result()
     return status
 
 
