@@ -471,19 +471,27 @@ def detect(
 
     _logger.debug(" --- Final Shadow Mask Generation...")
     with timer.stage("final mask"):
-        mask_fn = (
-            refinement_jax.improved_shadow_mask_jax
-            if dev_refine
-            else refinement.improved_shadow_mask
-        )
-        final = mask_fn(
-            match.shadow_mask,
-            generated.cloud_mask,
-            alpha,
-            beta,
-            surface,
-            config.probability_threshold,
-        )
+        if dev_refine:
+            # device_output: the percent reductions, the OR with the device
+            # cloud mask, and the packed TIFF write all consume it in HBM
+            final = refinement_jax.improved_shadow_mask_jax(
+                match.shadow_mask,
+                generated.cloud_mask,
+                alpha,
+                beta,
+                surface,
+                config.probability_threshold,
+                device_output=all_device,
+            )
+        else:
+            final = refinement.improved_shadow_mask(
+                match.shadow_mask,
+                generated.cloud_mask,
+                alpha,
+                beta,
+                surface,
+                config.probability_threshold,
+            )
     _logger.debug("...Finished Algorithm.")
 
     status.shadows_computed = True

@@ -418,10 +418,16 @@ def improved_shadow_mask_jax(
     beta: np.ndarray,
     surface,
     threshold: float,
+    device_output: bool = False,
 ) -> np.ndarray:
     """Device variant of :func:`refinement.improved_shadow_mask`: the
     raster-sized sampling + mask logic runs as one fused XLA program over
-    the host-precomputed extended surface table."""
+    the host-precomputed extended surface table.
+
+    ``device_output`` keeps the result in HBM — the pipeline's consumers
+    (percent reductions, the OR with the device cloud mask, the bit-packed
+    TIFF write) are all device ops, and a host round-trip here costs a
+    packed D2H plus a full-width bool H2D re-upload at full tile."""
     ext = surface._extended()
     out = _sample_final_jax(
         jnp.asarray(ext),
@@ -431,4 +437,4 @@ def improved_shadow_mask_jax(
         push_mask(cloud_mask),
         jnp.float32(threshold),
     )
-    return fetch_mask(out)
+    return out if device_output else fetch_mask(out)
