@@ -9,6 +9,7 @@ management — XLA owns placement and compilation caching.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -31,17 +32,21 @@ _logger = create_logger("detection.pipeline")
 _overlap_executor = None
 
 
-def _get_overlap_executor():
-    """Shared 2-worker pool for overlapping independent big-scene stages
-    (angle upload rides the link, cloud partition rides the host CPU, the
-    shadow mask rides the device — disjoint resources, no data deps)."""
-    global _overlap_executor
-    if _overlap_executor is None:
-        from concurrent.futures import ThreadPoolExecutor
+_overlap_lock = threading.Lock()
 
-        _overlap_executor = ThreadPoolExecutor(
-            max_workers=3, thread_name_prefix="sat-overlap"
-        )
+
+def _get_overlap_executor():
+    """Shared 3-worker pool for overlapping independent big-scene stages
+    (angle upload rides the link, cloud partition rides the host CPU, mask
+    TIFF writes ride disk + link — disjoint resources, no data deps)."""
+    global _overlap_executor
+    with _overlap_lock:
+        if _overlap_executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _overlap_executor = ThreadPoolExecutor(
+                max_workers=3, thread_name_prefix="sat-overlap"
+            )
     return _overlap_executor
 
 
@@ -302,209 +307,228 @@ def detect(
         else:
             task()
 
-    _submit_write(generated.cloud_mask, params.cloud_path(), "write cloud mask")
+    try:
+        _submit_write(generated.cloud_mask, params.cloud_path(), "write cloud mask")
 
-    if skip_shadow_detection.decision:
-        if status.percent_clouds >= skip_shadow_detection.threshold:
-            _logger.debug(
-                "Skipping %s because too much of the image is clouds (%.2f%% clouds)",
-                params.cloud_path().parent,
-                status.percent_clouds * 100,
-            )
-            for fut in pending_writes:
-                fut.result()
-            return status
+        if skip_shadow_detection.decision:
+            if status.percent_clouds >= skip_shadow_detection.threshold:
+                _logger.debug(
+                    "Skipping %s because too much of the image is clouds (%.2f%% clouds)",
+                    params.cloud_path().parent,
+                    status.percent_clouds * 100,
+                )
+                for fut in pending_writes:
+                    fut.result()
+                return status
 
-    if overlap and angles_fut is None:
-        # skip_shadow_detection was armed, so the upload waited for the
-        # cloud-cover verdict; it still overlaps partition + shadow mask
-        angles_fut = _get_overlap_executor().submit(_upload_angles_task)
+        if overlap and angles_fut is None:
+            # skip_shadow_detection was armed, so the upload waited for the
+            # cloud-cover verdict; it still overlaps partition + shadow mask
+            angles_fut = _get_overlap_executor().submit(_upload_angles_task)
 
-    _logger.debug(" --- Cloud Partitioning...")
+        _logger.debug(" --- Cloud Partitioning...")
 
-    def _partition_task():
-        with timer.stage("cloud partition"):
-            return cm.partition_cloud_mask(
+        def _partition_task():
+            with timer.stage("cloud partition"):
+                return cm.partition_cloud_mask(
+                    generated.cloud_mask_no_processing,
+                    diagonal_distance,
+                    config.min_cloud_size_for_ray_casting,
+                )
+
+        if overlap:
+            # host-CPU flood runs on a worker while the device computes the
+            # shadow mask; joined right after (matching needs both)
+            partition_fut = _get_overlap_executor().submit(_partition_task)
+        else:
+            cloud_map, clouds = _partition_task()
+
+        _logger.debug(" --- Potential Shadow Mask Generation...")
+        with timer.stage("potential shadow mask"):
+            psm = sm.generate_potential_shadow_mask(
+                nir,
                 generated.cloud_mask_no_processing,
-                diagonal_distance,
-                config.min_cloud_size_for_ray_casting,
-            )
-
-    if overlap:
-        # host-CPU flood runs on a worker while the device computes the
-        # shadow mask; joined right after (matching needs both)
-        partition_fut = _get_overlap_executor().submit(_partition_task)
-    else:
-        cloud_map, clouds = _partition_task()
-
-    _logger.debug(" --- Potential Shadow Mask Generation...")
-    with timer.stage("potential shadow mask"):
-        psm = sm.generate_potential_shadow_mask(
-            nir,
-            generated.cloud_mask_no_processing,
-            scl_host if host_shadow else scl,
-            config.shadow_mask,
-            device_output=all_device,
-        )
-
-    # potential-shadow mask is final as soon as the stage ends — its write
-    # hides behind the geometry/matching/refinement stages
-    _submit_write(psm.mask, params.shadow_potential_path(), "write shadow masks")
-
-    if overlap:
-        with timer.stage("cloud partition (wait)"):
-            cloud_map, clouds = partition_fut.result()
-
-    angle_dtype = np.float32  # the LS reduction uses f32 directions
-    with timer.stage("read angles"):
-        if angles_fut is not None:
-            sun_zenith, sun_azimuth, view_zenith, view_azimuth = angles_fut.result()
-        else:
-            sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
-            sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs, angle_dtype)
-            view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs, angle_dtype)
-            view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs, angle_dtype)
-
-    _logger.debug(" --- Solving for Sun and Satellite Position...")
-    with timer.stage("sun/view geometry"):
-        # two equivalent f32-direction reductions (~1e-7 relative
-        # agreement, far inside the 25 m height quantization of the
-        # downstream sweep). Host chunked numpy by default: no device
-        # transfers, the right call when the accelerator link is slow.
-        # All-device mode uses the device reduction — the full-tile host
-        # loop is ~13 s/Mpix-row of single-core trig (measured 765 s at
-        # 10980^2) vs one upload + a bandwidth-bound device pass.
-        ls_point = (
-            geometry.ls_point_equal_to_device
-            if all_device
-            else geometry.ls_point_equal_to_chunked
-        )
-        sun_pos = ls_point(
-            sun_zenith, sun_azimuth, shape, diagonal_distance,
-            config.distance_to_sun_km,
-        )
-        view_pos = ls_point(
-            view_zenith, view_azimuth, shape, diagonal_distance,
-            config.distance_to_view_km,
-        )
-
-    _logger.debug(" --- Object-based Shadow Mask Generation...")
-    with timer.stage("cloud-shadow matching"):
-        match = matching.match_clouds_shadows(
-            clouds,
-            cloud_map,
-            generated.cloud_mask_no_processing,
-            psm.mask,
-            diagonal_distance,
-            sun_pos,
-            view_pos,
-            config.matching,
-            timer=timer,
-        )
-
-    # object-based shadow mask is final after matching — write it while
-    # the refinement stages compute
-    _submit_write(
-        match.shadow_mask, params.object_based_shadow_path(), "write shadow masks"
-    )
-
-    _logger.debug(" --- Generating Probability Function...")
-    # device_stages (backend="jax", or "auto" on a TPU at full-tile scale):
-    # alpha / beta / histograms / sampling all run on device — beta's
-    # inputs (blended CLP, shadow windows) are already device-resident
-    # there, and the bucketed device beta measured 28 s vs 208 s host at
-    # full tile. Otherwise "auto" follows the data: device refinement only
-    # when the shadow stage left device arrays, and beta stays host
-    # (per-shadow EDT windows are cheap on host at small scales).
-    backend = config.refinement.backend
-    use_jax_refinement = device_stages
-    dev_refine = use_jax_refinement or (
-        backend == "auto"
-        and not isinstance(psm.difference_of_pitfill_nir, np.ndarray)
-    )
-    if dev_refine:
-        from . import refinement_jax
-    with timer.stage("alpha map"):
-        if dev_refine:
-            # stays a device array: its only consumers are device programs
-            alpha = refinement_jax.alpha_map_jax(
-                psm.difference_of_pitfill_nir,
-                config.refinement.alpha_a,
-                config.refinement.alpha_b,
-            )
-        else:
-            alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
-    with timer.stage("beta map"):
-        if use_jax_refinement:
-            # device_output: beta's only consumers (histogram scatter-adds,
-            # final-mask sampling) are device programs — never round-trip
-            # the ~482 MB full-tile f32 raster over the link
-            beta = refinement_jax.beta_map_jax(
-                match.shadows,
-                match.solutions,
-                generated.blended_cloud_probability,
-                diagonal_distance,
-                config.refinement,
-                device_output=True,
-            )
-        else:
-            beta = refinement.beta_map(
-                match.shadows,
-                match.solutions,
-                generated.blended_cloud_probability,
-                diagonal_distance,
-                config.refinement,
-            )
-            if dev_refine:
-                import jax.numpy as jnp
-
-                beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
-    with timer.stage("probability surface"):
-        if dev_refine:
-            surface = refinement_jax.probability_map_jax(
-                match.shadow_mask, alpha, beta, config.refinement
-            )
-        else:
-            surface = refinement.probability_map(
-                match.shadow_mask, alpha, beta, config.refinement
-            )
-
-    _logger.debug(" --- Final Shadow Mask Generation...")
-    with timer.stage("final mask"):
-        if dev_refine:
-            # device_output: the percent reductions, the OR with the device
-            # cloud mask, and the packed TIFF write all consume it in HBM
-            final = refinement_jax.improved_shadow_mask_jax(
-                match.shadow_mask,
-                generated.cloud_mask,
-                alpha,
-                beta,
-                surface,
-                config.probability_threshold,
+                scl_host if host_shadow else scl,
+                config.shadow_mask,
                 device_output=all_device,
             )
-        else:
-            final = refinement.improved_shadow_mask(
-                match.shadow_mask,
-                generated.cloud_mask,
-                alpha,
-                beta,
-                surface,
-                config.probability_threshold,
+
+        # potential-shadow mask is final as soon as the stage ends — its write
+        # hides behind the geometry/matching/refinement stages
+        _submit_write(psm.mask, params.shadow_potential_path(), "write shadow masks")
+
+        if overlap:
+            with timer.stage("cloud partition (wait)"):
+                cloud_map, clouds = partition_fut.result()
+
+        angle_dtype = np.float32  # the LS reduction uses f32 directions
+        with timer.stage("read angles"):
+            if angles_fut is not None:
+                sun_zenith, sun_azimuth, view_zenith, view_azimuth = angles_fut.result()
+            else:
+                sun_zenith = _read_angles(params.sun_zenith_path, "Sun Zenith", inputs, angle_dtype)
+                sun_azimuth = _read_angles(params.sun_azimuth_path, "Sun Azimuth", inputs, angle_dtype)
+                view_zenith = _read_angles(params.view_zenith_path, "View Zenith", inputs, angle_dtype)
+                view_azimuth = _read_angles(params.view_azimuth_path, "View Azimuth", inputs, angle_dtype)
+
+        _logger.debug(" --- Solving for Sun and Satellite Position...")
+        with timer.stage("sun/view geometry"):
+            # two equivalent f32-direction reductions (~1e-7 relative
+            # agreement, far inside the 25 m height quantization of the
+            # downstream sweep). Host chunked numpy by default: no device
+            # transfers, the right call when the accelerator link is slow.
+            # All-device mode uses the device reduction — the full-tile host
+            # loop is ~13 s/Mpix-row of single-core trig (measured 765 s at
+            # 10980^2) vs one upload + a bandwidth-bound device pass.
+            ls_point = (
+                geometry.ls_point_equal_to_device
+                if all_device
+                else geometry.ls_point_equal_to_chunked
             )
-    _logger.debug("...Finished Algorithm.")
+            sun_pos = ls_point(
+                sun_zenith, sun_azimuth, shape, diagonal_distance,
+                config.distance_to_sun_km,
+            )
+            view_pos = ls_point(
+                view_zenith, view_azimuth, shape, diagonal_distance,
+                config.distance_to_view_km,
+            )
+            # The overlapped early upload keeps four full-tile f32 rasters
+            # (~2 GB at 10980^2) resident through the cloud/shadow stages —
+            # the price of hiding their H2D behind device compute. Drop the
+            # references as soon as the LS reductions consume them so XLA
+            # can free the HBM before matching/refinement peak.
+            del sun_zenith, sun_azimuth, view_zenith, view_azimuth
 
-    status.shadows_computed = True
-    status.percent_shadows = percent_non_zero(final)
-    total_mask = generated.cloud_mask | final
-    status.percent_invalid = percent_non_zero(total_mask)
+        _logger.debug(" --- Object-based Shadow Mask Generation...")
+        with timer.stage("cloud-shadow matching"):
+            match = matching.match_clouds_shadows(
+                clouds,
+                cloud_map,
+                generated.cloud_mask_no_processing,
+                psm.mask,
+                diagonal_distance,
+                sun_pos,
+                view_pos,
+                config.matching,
+                timer=timer,
+            )
 
-    _logger.debug("Saving shadow results")
-    _submit_write(final, params.shadow_path(), "write shadow masks")
-    with timer.stage("write shadow masks (wait)"):
+        # object-based shadow mask is final after matching — write it while
+        # the refinement stages compute
+        _submit_write(
+            match.shadow_mask, params.object_based_shadow_path(), "write shadow masks"
+        )
+
+        _logger.debug(" --- Generating Probability Function...")
+        # device_stages (backend="jax", or "auto" on a TPU at full-tile scale):
+        # alpha / beta / histograms / sampling all run on device — beta's
+        # inputs (blended CLP, shadow windows) are already device-resident
+        # there, and the bucketed device beta measured 28 s vs 208 s host at
+        # full tile. Otherwise "auto" follows the data: device refinement only
+        # when the shadow stage left device arrays, and beta stays host
+        # (per-shadow EDT windows are cheap on host at small scales).
+        backend = config.refinement.backend
+        use_jax_refinement = device_stages
+        dev_refine = use_jax_refinement or (
+            backend == "auto"
+            and not isinstance(psm.difference_of_pitfill_nir, np.ndarray)
+        )
+        if dev_refine:
+            from . import refinement_jax
+        with timer.stage("alpha map"):
+            if dev_refine:
+                # stays a device array: its only consumers are device programs
+                alpha = refinement_jax.alpha_map_jax(
+                    psm.difference_of_pitfill_nir,
+                    config.refinement.alpha_a,
+                    config.refinement.alpha_b,
+                )
+            else:
+                alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
+        with timer.stage("beta map"):
+            if use_jax_refinement:
+                # device_output: beta's only consumers (histogram scatter-adds,
+                # final-mask sampling) are device programs — never round-trip
+                # the ~482 MB full-tile f32 raster over the link
+                beta = refinement_jax.beta_map_jax(
+                    match.shadows,
+                    match.solutions,
+                    generated.blended_cloud_probability,
+                    diagonal_distance,
+                    config.refinement,
+                    device_output=True,
+                )
+            else:
+                beta = refinement.beta_map(
+                    match.shadows,
+                    match.solutions,
+                    generated.blended_cloud_probability,
+                    diagonal_distance,
+                    config.refinement,
+                )
+                if dev_refine:
+                    import jax.numpy as jnp
+
+                    beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
+        with timer.stage("probability surface"):
+            if dev_refine:
+                surface = refinement_jax.probability_map_jax(
+                    match.shadow_mask, alpha, beta, config.refinement
+                )
+            else:
+                surface = refinement.probability_map(
+                    match.shadow_mask, alpha, beta, config.refinement
+                )
+
+        _logger.debug(" --- Final Shadow Mask Generation...")
+        with timer.stage("final mask"):
+            if dev_refine:
+                # device_output: the percent reductions, the OR with the device
+                # cloud mask, and the packed TIFF write all consume it in HBM
+                final = refinement_jax.improved_shadow_mask_jax(
+                    match.shadow_mask,
+                    generated.cloud_mask,
+                    alpha,
+                    beta,
+                    surface,
+                    config.probability_threshold,
+                    device_output=all_device,
+                )
+            else:
+                final = refinement.improved_shadow_mask(
+                    match.shadow_mask,
+                    generated.cloud_mask,
+                    alpha,
+                    beta,
+                    surface,
+                    config.probability_threshold,
+                )
+        _logger.debug("...Finished Algorithm.")
+
+        status.shadows_computed = True
+        status.percent_shadows = percent_non_zero(final)
+        total_mask = generated.cloud_mask | final
+        status.percent_invalid = percent_non_zero(total_mask)
+
+        _logger.debug("Saving shadow results")
+        _submit_write(final, params.shadow_path(), "write shadow masks")
+        with timer.stage("write shadow masks (wait)"):
+            for fut in pending_writes:
+                fut.result()
+        return status
+    finally:
+        # Error paths must not leak orphaned writer threads racing the
+        # output files (a caller that catches and retries would collide
+        # with them, and their failures would vanish). On success every
+        # future was already joined (and raised) above, so this drain is
+        # free; on an exception it blocks until writers finish and logs
+        # their failures instead of dropping them.
         for fut in pending_writes:
-            fut.result()
-    return status
+            try:
+                fut.result()
+            except Exception:
+                _logger.exception("background mask write failed")
 
 
 def detect_clouds(folder: Path | str, db: DataBase, config: DetectionConfig = DEFAULT_DETECTION) -> Status:

@@ -145,18 +145,31 @@ def _build_levels_device(m0: jnp.ndarray):
 
 
 @jax.jit
-def _mask_fingerprint_device(m: jnp.ndarray):
-    """Three independent reductions — one tiny D2H fetch keys the hierarchy
-    cache for device-resident masks (a wrong coarse hierarchy would only
-    weaken the preconditioner; correctness is guarded by the outer f64
-    residual loop)."""
-    mf = m.astype(jnp.float64)
-    s0 = jnp.sum(mf)
-    ii = lax.broadcasted_iota(jnp.int32, m.shape, 0).astype(jnp.float64)
-    jj = lax.broadcasted_iota(jnp.int32, m.shape, 1).astype(jnp.float64)
-    s1 = jnp.sum(mf * ii)
-    s2 = jnp.sum(mf * (jj % 8191.0))
-    return s0, s1, s2
+def _mask_checksum_device(m: jnp.ndarray):
+    """Exact-content checksum keying the hierarchy cache for device masks:
+    bits pack 32-per-uint32-word on device, then two independent
+    position-mixed modular sums reduce to one tiny D2H fetch. Every bit of
+    the mask feeds both sums through a position-dependent odd multiplier
+    (invertible mod 2^32), so any single-pixel flip changes both — unlike
+    the 3-float-moment fingerprint this replaces, whose collisions silently
+    reused a wrong coarse hierarchy (bounded damage — the f64 outer residual
+    still converges — but a whole hazard class for two extra reductions)."""
+    flat = m.reshape(-1)
+    pad = (-flat.shape[0]) % 32
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    bits = flat.reshape(-1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    words = jnp.sum(bits << shifts, axis=1, dtype=jnp.uint32)
+    i = jnp.arange(words.shape[0], dtype=jnp.uint32)
+    h1 = jnp.sum(
+        words * (jnp.uint32(2) * i + jnp.uint32(0x9E3779B9)), dtype=jnp.uint32
+    )
+    h2 = jnp.sum(
+        (words ^ (i * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35),
+        dtype=jnp.uint32,
+    )
+    return h1, h2
 
 
 def build_hierarchy(umask: np.ndarray, deg: np.ndarray):
@@ -537,9 +550,31 @@ _pcg_run = functools.partial(
 
 # repeated solves on the same mask (multi-date fills, refinement passes,
 # benchmarks) reuse the uploaded hierarchy — re-uploading ~20MB of level
-# masks per call is real money on tunneled-TPU hosts
-_HIERARCHY_CACHE: dict = {}
-_CONST_CACHE: dict = {}
+# masks per call is real money on tunneled-TPU hosts. Both caches are LRU
+# (OrderedDict, least-recent evicted one at a time): the previous
+# clear-everything-at-cap eviction thrashed alternating-mask workloads
+# (multi-date fills swap between 2-3 masks; a wholesale clear re-uploaded
+# all of them every cycle — tests/test_solvers.py::test_cache_lru_no_churn).
+from collections import OrderedDict
+
+_HIERARCHY_CACHE: OrderedDict = OrderedDict()
+_CONST_CACHE: OrderedDict = OrderedDict()
+_HIERARCHY_CACHE_CAP = 8
+_CONST_CACHE_CAP = 16
+
+
+def _lru_get(cache: OrderedDict, key):
+    val = cache.get(key)
+    if val is not None:
+        cache.move_to_end(key)
+    return val
+
+
+def _lru_put(cache: OrderedDict, key, val, cap: int):
+    cache[key] = val
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
 
 
 def device_constant(arr) -> jnp.ndarray:
@@ -552,11 +587,9 @@ def device_constant(arr) -> jnp.ndarray:
     if not isinstance(arr, np.ndarray):
         return jnp.asarray(arr)
     key = (arr.shape, str(arr.dtype), hash(arr.tobytes()))
-    cached = _CONST_CACHE.get(key)
+    cached = _lru_get(_CONST_CACHE, key)
     if cached is not None:
         return cached
-    if len(_CONST_CACHE) > 16:
-        _CONST_CACHE.clear()
     if arr.dtype == np.bool_:
         # bool rasters cross the link bit-packed (8x fewer H2D bytes)
         from ..ops.masks import push_mask
@@ -564,7 +597,7 @@ def device_constant(arr) -> jnp.ndarray:
         val = push_mask(arr)
     else:
         val = jnp.asarray(arr)
-    _CONST_CACHE[key] = val
+    _lru_put(_CONST_CACHE, key, val, _CONST_CACHE_CAP)
     return val
 
 
@@ -578,10 +611,10 @@ def _device_hierarchy(umask, deg) -> Hierarchy:
         umask_j = None
     else:
         umask_j = umask
-        fp = _mask_fingerprint_device(umask_j)
-        key = (umask_j.shape,) + tuple(float(s) for s in fp)
+        h1, h2 = jax.device_get(_mask_checksum_device(umask_j))
+        key = (umask_j.shape, int(h1), int(h2))
     deg_j = device_constant(deg).astype(jnp.float32)
-    cached = _HIERARCHY_CACHE.get(key)
+    cached = _lru_get(_HIERARCHY_CACHE, key)
     if cached is not None:
         # coarse levels depend on the mask alone; level 0 carries the
         # caller's deg — and when level 0 IS the coarsest level (single-
@@ -599,9 +632,7 @@ def _device_hierarchy(umask, deg) -> Hierarchy:
         _dense_coarse_inverse(m_c, d_c) if m_c.size <= _DENSE_COARSE_MAX else None
     )
     hier = Hierarchy(levels_j, coarse_inv)
-    if len(_HIERARCHY_CACHE) > 8:
-        _HIERARCHY_CACHE.clear()
-    _HIERARCHY_CACHE[key] = hier
+    _lru_put(_HIERARCHY_CACHE, key, hier, _HIERARCHY_CACHE_CAP)
     return hier
 
 

@@ -19,7 +19,16 @@ _logger = create_logger("utils.profiling")
 
 
 class StageTimer:
-    """Accumulate named stage wall times; ``report()`` renders a summary."""
+    """Accumulate named stage wall times; ``report()`` renders a summary.
+
+    Stages may be appended from worker threads (the overlapped big-scene
+    schedule runs angle uploads / partition / TIFF writes concurrently with
+    device stages); ``list.append`` is GIL-atomic so the record is safe, but
+    ``report()`` sums raw wall times — concurrent stages DOUBLE-COUNT in the
+    total and the percentages, so the report is per-stage attribution, not
+    an end-to-end wall-clock breakdown. Overlapped stages are named as such
+    ("... (overlapped)" / "... (wait)") by their call sites.
+    """
 
     def __init__(self):
         self.stages: list[tuple[str, float]] = []

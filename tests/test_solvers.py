@@ -322,6 +322,72 @@ class TestDeviceHierarchy:
             np.testing.assert_array_equal(np.asarray(dev[k][0]), hm)
             np.testing.assert_allclose(np.asarray(dev[k][1]), hd)
 
+    def test_device_checksum_exact(self):
+        """The device-mask cache key is an exact content checksum: any
+        single-pixel flip must change it (the 3-moment fingerprint this
+        replaced could collide and silently reuse a wrong hierarchy)."""
+        import jax
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import multigrid
+
+        rng = np.random.default_rng(7)
+        m = rng.random((97, 131)) > 0.5
+        base = tuple(
+            int(v) for v in jax.device_get(
+                multigrid._mask_checksum_device(jnp.asarray(m))
+            )
+        )
+        # same content, independent upload -> same key
+        again = tuple(
+            int(v) for v in jax.device_get(
+                multigrid._mask_checksum_device(jnp.asarray(m.copy()))
+            )
+        )
+        assert base == again
+        for (i, j) in [(0, 0), (96, 130), (50, 64), (13, 99)]:
+            m2 = m.copy()
+            m2[i, j] = not m2[i, j]
+            h = tuple(
+                int(v) for v in jax.device_get(
+                    multigrid._mask_checksum_device(jnp.asarray(m2))
+                )
+            )
+            assert h != base, (i, j)
+
+    def test_cache_lru_no_churn(self):
+        """Alternating between a few masks must not rebuild hierarchies:
+        LRU eviction (not wholesale clears) keeps the working set cached."""
+        from satellite_approximation_tpu.models import multigrid
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(3)
+        masks = []
+        for s in range(3):
+            m = rng.random((64, 64)) > 0.7
+            m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
+            masks.append(m)
+        deg = neighbor_degree((64, 64))
+        multigrid._HIERARCHY_CACHE.clear()
+        hiers = [multigrid._device_hierarchy(m, deg) for m in masks]
+        # two more alternating rounds: every lookup must hit the cache
+        for _ in range(2):
+            for m, h0 in zip(masks, hiers):
+                h1 = multigrid._device_hierarchy(m, deg)
+                assert h1.levels[1][0] is h0.levels[1][0], "hierarchy rebuilt"
+
+    def test_cache_lru_evicts_oldest_only(self):
+        from satellite_approximation_tpu.models import multigrid
+
+        multigrid._CONST_CACHE.clear()
+        arrs = [np.full((8, 8), float(i), np.float32) for i in range(20)]
+        for a in arrs:
+            multigrid.device_constant(a)
+        assert len(multigrid._CONST_CACHE) == multigrid._CONST_CACHE_CAP
+        # the most recent CAP entries survive
+        v = multigrid.device_constant(arrs[-1])
+        assert float(np.asarray(v)[0, 0]) == 19.0
+        assert len(multigrid._CONST_CACHE) == multigrid._CONST_CACHE_CAP
+
 
 class TestLaplaceFill:
     """Device-first full-tile fill path (models/fill.py)."""
