@@ -270,38 +270,56 @@ def _use_pallas(u, sweeps, extra_ring=0):
     )
 
 
-def _smooth(u, b, um, deg, omegas: tuple):
+def _smooth(u, b, um, deg, omegas: tuple, u_is_zero: bool = False):
     """Weighted-Jacobi sweeps (one weight per sweep — Chebyshev smoothing
     by default, see :func:`_smoother_omegas`) restricted to unknowns. On
     TPU, large levels dispatch to the fused Pallas strip kernel (all sweeps
     in VMEM, ~2.5x faster than the XLA per-sweep path); small levels and
-    other backends use XLA."""
-    from ..ops.pallas_kernels import fused_jacobi_tpu
+    other backends use XLA.
 
-    if _use_pallas(u, len(omegas)):
+    ``u_is_zero``: the caller guarantees u == 0 (the V-cycle pre-smooth —
+    every level's incoming iterate is zeros). Bit-identical results, but
+    the first sweep needs no A-apply (A·0 = 0) and the Pallas path skips
+    the u DMA entirely (fused_jacobi_zero_tpu)."""
+    from ..ops.pallas_kernels import fused_jacobi_tpu, fused_jacobi_zero_tpu
+
+    eff_sweeps = len(omegas) - (1 if u_is_zero else 0)
+    if _use_pallas(b, eff_sweeps):
+        if u_is_zero:
+            return fused_jacobi_zero_tpu(
+                b, um, deg, sweeps=len(omegas), omega=omegas
+            )
         # the Pallas path computes updates everywhere (mask folds into the
         # update term); match the XLA path exactly
         return fused_jacobi_tpu(u, b, um, deg, sweeps=len(omegas), omega=omegas)
 
     inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
 
+    if u_is_zero:
+        u = omegas[0] * b * inv_deg * um
+        omegas = omegas[1:]
     for om in omegas:
         au = masked_laplacian(u, um, deg)
         u = u + om * (b - au) * inv_deg * um
     return u
 
 
-def _smooth_residual(u, b, um, deg, omegas: tuple):
+def _smooth_residual(u, b, um, deg, omegas: tuple, u_is_zero: bool = False):
     """(smoothed u, post-smooth residual (b - A u) * um) — fused into ONE
     Pallas pass where available (the residual reuses the VMEM window, no
     second full-grid A-apply)."""
-    from ..ops.pallas_kernels import fused_jacobi_tpu
+    from ..ops.pallas_kernels import fused_jacobi_tpu, fused_jacobi_zero_tpu
 
-    if _use_pallas(u, len(omegas), extra_ring=1):
+    eff_sweeps = len(omegas) - (1 if u_is_zero else 0)
+    if _use_pallas(b, eff_sweeps, extra_ring=1):
+        if u_is_zero:
+            return fused_jacobi_zero_tpu(
+                b, um, deg, sweeps=len(omegas), omega=omegas, emit_residual=True
+            )
         return fused_jacobi_tpu(
             u, b, um, deg, sweeps=len(omegas), omega=omegas, emit_residual=True
         )
-    u = _smooth(u, b, um, deg, omegas)
+    u = _smooth(u, b, um, deg, omegas, u_is_zero=u_is_zero)
     r = (b - masked_laplacian(u, um, deg)) * um.astype(u.dtype)
     return u, r
 
@@ -378,14 +396,19 @@ def _padded_md_for_levels(levels_j):
     return tuple(out)
 
 
-def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
+def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
+             u_is_zero: bool = False):
+    """One V-cycle. ``u_is_zero`` asserts the incoming iterate is zeros
+    (always true when the cycle runs as a preconditioner and for every
+    recursive level) — results are bit-identical, but pre-smoothing skips
+    the u read and its first A-apply (see _smooth)."""
     um, deg = levels_j[lvl]
     if lvl == len(levels_j) - 1:
         if coarse_inv is not None:
             # exact coarse solve: one MXU matvec against the precomputed
             # dense inverse (see _dense_coarse_inverse) — replaces ~100 CG
             # iterations of tiny VPU ops
-            r = (b - masked_laplacian(u, um, deg)) * um
+            r = b * um if u_is_zero else (b - masked_laplacian(u, um, deg)) * um
             n = um.shape[-2] * um.shape[-1]
             rb = r.reshape(*r.shape[:-2], n).astype(jnp.float32)
             e = (rb @ coarse_inv.T).astype(u.dtype).reshape(r.shape)
@@ -396,7 +419,7 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
         # be large and nearly all-unknown — a fixed budget starves it and
         # the whole preconditioner collapses)
         coarse_iters = max(_COARSE_ITERS, 4 * max(um.shape))
-        r = (b - masked_laplacian(u, um, deg)) * um
+        r = b * um if u_is_zero else (b - masked_laplacian(u, um, deg)) * um
 
         def body(_, state):
             x, r, p, rs = state
@@ -418,7 +441,8 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
     pre = _smoother_omegas(_PRE_SMOOTH)
     post = tuple(reversed(_smoother_omegas(_POST_SMOOTH)))
     pmd = padded_md[lvl] if padded_md is not None else None
-    if pmd is not None and _use_pallas(u, len(pre), extra_ring=1):
+    eff_pre = len(pre) - (1 if u_is_zero else 0)
+    if pmd is not None and _use_pallas(b, eff_pre, extra_ring=1):
         # padded-resident level: u/b stay in the kernel's padded layout
         # across both smoother passes, so only b pays a materialized pad
         # (u starts as padded zeros; mask/deg were padded once per solve by
@@ -430,22 +454,33 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
         # smoother call's wall time).
         from ..ops.pallas_kernels import (
             fused_jacobi_tpu_padded,
+            fused_jacobi_zero_tpu_padded,
             pad_for_kernel,
             slice_from_kernel,
         )
 
         ump, degp = pmd
         h, w = um.shape[-2], um.shape[-1]
-        up = pad_for_kernel(u, h, w)
         bp = pad_for_kernel(b, h, w)
-        up, rp = fused_jacobi_tpu_padded(
-            up, bp, ump, degp, h, w, sweeps=len(pre), omega=pre, emit_residual=True
-        )
+        if u_is_zero:
+            # zero-start pre-smooth: the u operand (and its pad copy + DMA)
+            # disappears entirely — see fused_jacobi_zero_tpu
+            up, rp = fused_jacobi_zero_tpu_padded(
+                bp, ump, degp, h, w, sweeps=len(pre), omega=pre,
+                emit_residual=True,
+            )
+        else:
+            up = pad_for_kernel(u, h, w)
+            up, rp = fused_jacobi_tpu_padded(
+                up, bp, ump, degp, h, w, sweeps=len(pre), omega=pre,
+                emit_residual=True,
+            )
         r = slice_from_kernel(rp, h, w)
         um_c, _ = levels_j[lvl + 1]
         r_c = _restrict(r) * um_c.astype(r.dtype)
         e_c = _v_cycle(
-            levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md
+            levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md,
+            u_is_zero=True,
         )
         corr = _prolong(e_c, u.shape) * um.astype(u.dtype)
         up = up + pad_for_kernel(corr, h, w)  # pad fuses into the add
@@ -453,10 +488,11 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None):
             up, bp, ump, degp, h, w, sweeps=len(post), omega=post
         )
         return slice_from_kernel(up, h, w)
-    u, r = _smooth_residual(u, b, um, deg, pre)
+    u, r = _smooth_residual(u, b, um, deg, pre, u_is_zero=u_is_zero)
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
-    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md)
+    e_c = _v_cycle(levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md,
+                   u_is_zero=True)
     u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
     # reversed weights = the transpose smoother (see _smoother_omegas)
     u = _smooth(u, b, um, deg, post)
@@ -498,6 +534,7 @@ def _pcg_core(
             0,
             coarse_inv,
             padded_md,
+            u_is_zero=True,
         )
         return z16.astype(r.dtype)
 

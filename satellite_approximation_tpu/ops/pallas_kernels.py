@@ -79,6 +79,7 @@ def _kernel_factory(
     emit_residual: bool = False,
     out_off_r: int = 0,
     out_off_c: int = 0,
+    zero_start: bool = False,
 ):
     winr = strip + 2 * HALO_R
     winc = ctile + 2 * HALO_C
@@ -86,11 +87,31 @@ def _kernel_factory(
     # own weight (Chebyshev polynomial smoothing, models/multigrid)
     omegas = omega if isinstance(omega, tuple) else (float(omega),) * sweeps
     assert len(omegas) == sweeps
-    def kernel(u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch):
-        if emit_residual:
-            out_hbm, res_hbm, su, sb, sm, sd, so, sr, sems = outs_and_scratch
+
+    # zero_start: the smoother starts from u == 0 (ALWAYS the case for a
+    # V-cycle pre-smoother — every level's incoming iterate is zeros). The
+    # kernel then takes no u operand at all: the u DMA disappears (one full
+    # array of HBM read traffic) and the first sweep collapses to
+    # u = omega0 * b / deg on unknowns — bit-identical to running the full
+    # sweep against zeros (A·0 = 0), one sweep's rolls cheaper on the VPU.
+    def kernel(*refs):
+        if zero_start:
+            b_hbm, m_hbm, d_hbm, *outs_and_scratch = refs
+            u_hbm = None
         else:
-            out_hbm, su, sb, sm, sd, so, sems = outs_and_scratch
+            u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch = refs
+        if emit_residual:
+            if zero_start:
+                out_hbm, res_hbm, sb, sm, sd, so, sr, sems = outs_and_scratch
+                su = None
+            else:
+                out_hbm, res_hbm, su, sb, sm, sd, so, sr, sems = outs_and_scratch
+        else:
+            if zero_start:
+                out_hbm, sb, sm, sd, so, sems = outs_and_scratch
+                su = None
+            else:
+                out_hbm, su, sb, sm, sd, so, sems = outs_and_scratch
             res_hbm = sr = None
         one = jnp.int32(1)
 
@@ -101,9 +122,6 @@ def _kernel_factory(
             idx = [jnp.int32(t) for t in range(6)]
             copies = [
                 pltpu.make_async_copy(
-                    u_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)], su, sems.at[idx[0]]
-                ),
-                pltpu.make_async_copy(
                     b_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)], sb, sems.at[idx[1]]
                 ),
                 pltpu.make_async_copy(
@@ -113,6 +131,14 @@ def _kernel_factory(
                     d_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)], sd, sems.at[idx[3]]
                 ),
             ]
+            if not zero_start:
+                copies.append(
+                    pltpu.make_async_copy(
+                        u_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
+                        su,
+                        sems.at[idx[0]],
+                    )
+                )
             for cp in copies:
                 cp.start()
             for cp in copies:
@@ -144,8 +170,16 @@ def _kernel_factory(
 
             # unrolled so each sweep can carry its own weight (Chebyshev
             # smoothing); sweeps <= HALO_R keeps this a handful of steps
-            u = su[:, :].astype(jnp.float32)
-            for om in omegas:
+            if zero_start:
+                # first sweep against u == 0: A·0 = 0, so the update is
+                # just omega0 * b / deg on unknowns — bit-identical to the
+                # general sweep at u = 0 (see fused_jacobi_zero docstring)
+                u = jnp.where(unknown, omegas[0] * b * inv0, 0.0)
+                rest = omegas[1:]
+            else:
+                u = su[:, :].astype(jnp.float32)
+                rest = omegas
+            for om in rest:
                 au = deg * u - neighbor_sum(u)
                 u = jnp.where(unknown, u + om * (b - au) * inv0, u)
             so[:, :] = u[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile].astype(
@@ -376,6 +410,103 @@ def fused_jacobi_tpu_padded(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(up, bp.astype(dtype), umaskp.astype(dtype), degp.astype(dtype))
+
+
+def _zero_call(
+    b, umask, deg, h, w, sweeps, omega, emit_residual, padded_io
+):
+    """Shared pallas_call plumbing for the zero-start kernels."""
+    assert (sweeps - 1) + (1 if emit_residual else 0) <= HALO_R
+    if isinstance(omega, tuple):
+        assert len(omega) == sweeps
+    strip, ctile = kernel_tiles(h, w)
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    c = b.shape[0]
+    if padded_io:
+        hpad, wpad = b.shape[-2], b.shape[-1]
+        hp = hpad - 2 * HALO_R
+        wp = wpad - 2 * HALO_C
+        assert hp == -(-h // strip) * strip and wp == -(-w // ctile) * ctile
+        bp, mp, dp = b, umask, deg
+    else:
+        hp = -(-h // strip) * strip
+        wp = -(-w // ctile) * ctile
+        hpad, wpad = hp + 2 * HALO_R, wp + 2 * HALO_C
+        bp = pad_for_kernel(b, h, w)
+        mp = pad_for_kernel(umask, h, w)
+        dp = pad_for_kernel(deg, h, w, value=1.0)
+    dtype = b.dtype
+    out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
+    scratch = [
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((winr, winc), dtype),
+        pltpu.VMEM((strip, ctile), dtype),
+    ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        _kernel_factory(
+            sweeps,
+            omega if isinstance(omega, tuple) else float(omega),
+            strip,
+            ctile,
+            hp // strip,
+            wp // ctile,
+            c,
+            emit_residual,
+            out_off_r=HALO_R,
+            out_off_c=HALO_C,
+            zero_start=True,
+        ),
+        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
+        in_specs=[any_spec] * 3,
+        out_specs=(any_spec, any_spec) if emit_residual else any_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(bp, mp.astype(dtype), dp.astype(dtype))
+    if padded_io:
+        return out
+    if emit_residual:
+        return (
+            slice_from_kernel(out[0], h, w),
+            slice_from_kernel(out[1], h, w),
+        )
+    return slice_from_kernel(out, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "emit_residual"))
+def fused_jacobi_zero_tpu(b, umask, deg, sweeps: int = 8, omega=0.8,
+                          emit_residual: bool = False):
+    """K fused Jacobi sweeps starting from u == 0 — the V-cycle pre-smooth
+    case (every level's incoming iterate is zeros, multigrid._v_cycle).
+
+    Bit-identical to ``fused_jacobi_tpu(zeros, b, ...)`` (A·0 = 0 makes the
+    first sweep omega0 * b / deg exactly), but the u operand disappears:
+    no zeros array materialized in HBM, no u window DMA, and the first
+    sweep costs no rolls. The exactness ring budget also relaxes by one —
+    sweep 1 is purely local, so (sweeps - 1) + residual ring <= HALO_R.
+    """
+    c, h, w = b.shape
+    return _zero_call(b, umask, deg, h, w, sweeps, omega, emit_residual, False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "sweeps", "omega", "emit_residual")
+)
+def fused_jacobi_zero_tpu_padded(
+    bp, umaskp, degp, h: int, w: int, sweeps: int = 8, omega=0.8,
+    emit_residual: bool = False,
+):
+    """Padded-IO zero-start variant: operands already in pad_for_kernel
+    layout, outputs come back in the same layout (interiors exact, rims
+    uninitialized — same contract as fused_jacobi_tpu_padded)."""
+    return _zero_call(bp, umaskp, degp, h, w, sweeps, omega, emit_residual, True)
 
 
 def pallas_available() -> bool:

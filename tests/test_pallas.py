@@ -70,6 +70,70 @@ class TestFusedJacobi:
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), atol=5e-5)
 
 
+class TestZeroStart:
+    """fused_jacobi_zero_tpu must equal fused_jacobi_tpu(zeros, ...)
+    BIT-FOR-BIT (A·0 = 0 makes the first sweep omega0*b/deg exactly)."""
+
+    @pytest.mark.parametrize("shape", [(2, 300, 500), (1, 1024, 1100)])
+    def test_zero_matches_general_bitwise(self, shape):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            fused_jacobi_tpu,
+            fused_jacobi_zero_tpu,
+        )
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(11)
+        c, h, w = shape
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        omegas = (0.9, 0.7, 0.8, 1.1, 0.6, 0.75)
+        z = jnp.zeros_like(b)
+        want_u, want_r = fused_jacobi_tpu(
+            z, b, um, dg, sweeps=6, omega=omegas, emit_residual=True
+        )
+        got_u, got_r = fused_jacobi_zero_tpu(
+            b, um, dg, sweeps=6, omega=omegas, emit_residual=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+        got_p = fused_jacobi_zero_tpu(b, um, dg, sweeps=6, omega=omegas)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_u))
+
+    def test_zero_padded_matches_plain_bitwise(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            fused_jacobi_zero_tpu,
+            fused_jacobi_zero_tpu_padded,
+            pad_for_kernel,
+            slice_from_kernel,
+        )
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(12)
+        c, h, w = 2, 600, 700
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        omegas = (0.9, 0.7, 0.8, 1.1, 0.6, 0.75)
+        want_u, want_r = fused_jacobi_zero_tpu(
+            b, um, dg, sweeps=6, omega=omegas, emit_residual=True
+        )
+        bp = pad_for_kernel(b, h, w)
+        ump = pad_for_kernel(um, h, w)
+        dgp = pad_for_kernel(jnp.asarray(dg, jnp.float32), h, w, value=1.0)
+        got_up, got_rp = fused_jacobi_zero_tpu_padded(
+            bp, ump, dgp, h, w, sweeps=6, omega=omegas, emit_residual=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slice_from_kernel(got_up, h, w)), np.asarray(want_u)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slice_from_kernel(got_rp, h, w)), np.asarray(want_r)
+        )
+
+
 class TestPaddedIO:
     @pytest.mark.parametrize("shape", [(1, 300, 500), (2, 1024, 1100)])
     def test_padded_matches_plain_bitwise(self, shape):
