@@ -45,10 +45,13 @@ def main():
     import jax
     import satellite_approximation_tpu  # noqa: F401
     import bench
-    from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+    from satellite_approximation_tpu.parallel.mesh import (
+        spatial_band_mesh,
+        spatial_mesh_2d,
+    )
     from satellite_approximation_tpu.parallel.mg import (
-        sharded_mg_solve, build_sharded_hierarchy, comm_volume_report,
-        _MIN_LOCAL_ROWS,
+        sharded_mg_solve, sharded_mg_solve_2d, build_sharded_hierarchy,
+        comm_volume_report, comm_volume_report_2d, _MIN_LOCAL_ROWS,
     )
     from satellite_approximation_tpu.models.cg import neighbor_degree, shift_sum
 
@@ -84,7 +87,27 @@ def main():
     assert rows[1]["iterations"] == rows[4]["iterations"], rows
     assert rows[4]["max_rel_residual"] <= 1e-6, rows
 
+    # 2-D spatial tiling (VERDICT r3 item 2): (2,2) vs (4,1) over the same
+    # 4 spatial devices — same solve, both to 1e-6; the (4,1) degenerate
+    # column axis runs the 2-D code path on a rows-only partition
+    rows2d = {}
+    for ydim, xdim in ((2, 2), (4, 1)):
+        mesh = spatial_mesh_2d(4 * 1, shape=(1, ydim, xdim))
+        t0 = time.perf_counter()
+        x, iters, rel = sharded_mg_solve_2d(
+            b, x0, umask, None, mesh, tolerance=1e-6, max_iterations=200
+        )
+        dt = time.perf_counter() - t0
+        rows2d[f"{ydim}x{xdim}"] = {
+            "iterations": int(iters),
+            "max_rel_residual": float(np.max(np.asarray(rel))),
+            "wall_s": round(dt, 2),
+        }
+        print(f"2d {ydim}x{xdim}: {rows2d[f'{ydim}x{xdim}']}", flush=True)
+    assert all(r["max_rel_residual"] <= 1e-6 for r in rows2d.values()), rows2d
+
     comm = comm_volume_report(n, n, c, 4, umask)
+    comm2d = comm_volume_report_2d(n, n, c, 2, 2, umask)
     out = {
         "metric": "sharded_mg_parity",
         "size": n,
@@ -94,7 +117,10 @@ def main():
         "xdim1": rows[1],
         "xdim4": rows[4],
         "iteration_parity": True,
+        "mesh2d_2x2": rows2d["2x2"],
+        "mesh2d_4x1": rows2d["4x1"],
         "ici_bytes_per_pcg_iteration": comm["bytes_per_pcg_iteration"],
+        "ici_bytes_per_pcg_iteration_2d_2x2": comm2d["bytes_per_pcg_iteration"],
         "tail_allgather_bytes": comm["tail_allgather_bytes"],
     }
     print(json.dumps(out), flush=True)

@@ -262,7 +262,11 @@ def detect(
     # link cost of the pipeline (~1 GB u16-quantized at full tile). Start
     # the read+upload on a worker NOW so it hides behind the cloud/shadow
     # device stages; results are the same device arrays the serial path
-    # would build, so numerics are bit-identical.
+    # would build, so numerics are bit-identical. Cost: the four full-tile
+    # angle rasters (~2 GB f32 at 10980^2) sit in HBM through the
+    # cloud/shadow/PSM stages instead of only during the geometry stage —
+    # acceptable on a 16 GB chip next to those stages' ~3 GB peak, and the
+    # arrays are freed right after the LS reduction consumes them.
     overlap = all_device and big_scene
     angles_fut = None
 

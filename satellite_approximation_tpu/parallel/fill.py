@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..models.cg import neighbor_degree
-from .mg import sharded_mg_solve
+from .mg import sharded_mg_solve, sharded_mg_solve_2d
 
 
 def _shift_sum_np(x: np.ndarray) -> np.ndarray:
@@ -86,7 +86,10 @@ def sharded_fill(
         b = np.pad(b, zpad)
         x0 = np.pad(x0, zpad)
 
-    x, iters, rel = sharded_mg_solve(
+    # 2-D ('b','y','x') meshes route to the 2-D-tiled solver (rows over 'y',
+    # cols over 'x'); 1-D ('b','x') meshes keep the row-sharded solver
+    solve = sharded_mg_solve_2d if "y" in mesh.axis_names else sharded_mg_solve
+    x, iters, rel = solve(
         b.astype(np.float32),
         x0.astype(np.float32),
         um,
@@ -101,7 +104,8 @@ def sharded_fill(
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        x = jax.device_put(x, NamedSharding(mesh, P(None, "x", None)))[:c]
+        spatial = P(None, "y", "x") if "y" in mesh.axis_names else P(None, "x", None)
+        x = jax.device_put(x, NamedSharding(mesh, spatial))[:c]
         rel = np.asarray(rel)[:c]
     umf_j = jnp.asarray(umf)
     filled = jnp.asarray(img) * (1.0 - umf_j) + x * umf_j

@@ -38,6 +38,44 @@ def spatial_band_mesh(
     return jax.make_mesh((b, x), ("b", "x"))
 
 
+def spatial_mesh_2d(
+    n_devices: int | None = None,
+    shape: tuple[int, int, int] | None = None,
+) -> Mesh:
+    """A ('b', 'y', 'x') mesh: band x spatial-rows x spatial-cols.
+
+    The 2-D spatial tiling (SURVEY §2.5 P6) halves each shard's halo
+    perimeter vs rows-only at the same device count and rides both ICI
+    axes of a 2-D torus. Policy: all devices go to space (b=1 — bands are
+    cheap to loop over; spatial extent is what outgrows one chip), split
+    as square as possible with rows >= cols (row ghosts move sublane-dim
+    slabs, which lower better than lane-dim column slabs — keep the column
+    axis the shorter one). Pass ``shape=(b, y, x)`` to override.
+    """
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if shape is not None:
+        b, y, x = shape
+        if b * y * x != n_devices:
+            raise ValueError(
+                f"mesh shape {shape} does not cover {n_devices} devices"
+            )
+        return jax.make_mesh((b, y, x), ("b", "y", "x"))
+    y, x = split_rows_cols(n_devices)
+    return jax.make_mesh((1, y, x), ("b", "y", "x"))
+
+
+def split_rows_cols(n_devices: int) -> tuple[int, int]:
+    """Most-square (y, x) factorization with y >= x (see spatial_mesh_2d)."""
+    x = 1
+    f = 2
+    while f * f <= n_devices:
+        if n_devices % f == 0 and f <= n_devices // f:
+            x = max(x, f)
+        f += 1
+    return n_devices // x, x
+
+
 def split_band_spatial(n_devices: int) -> tuple[int, int]:
     """The default (b, x) split: largest band divisor <= min(4, sqrt(n)).
 

@@ -238,6 +238,191 @@ class TestShardedStencils:
         np.testing.assert_array_equal(got, want)
 
 
+class TestHaloPadCols:
+    def test_matches_global_zero_pad(self):
+        """halo_pad_cols inside shard_map must reproduce what a global
+        zero-pad then local slice would give: interior shards see their
+        neighbours' edge columns, boundary shards see zeros."""
+        import functools
+
+        from satellite_approximation_tpu.parallel.halo import halo_pad_cols
+
+        mesh = jax.make_mesh((4,), ("x",))
+        h, w = 8, 32
+        rng = np.random.default_rng(11)
+        a = rng.random((h, w)).astype(np.float32)
+        a_s = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P(None, "x")))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P(None, "x"), out_specs=P(None, "x")
+        )
+        def run(x_l):
+            padded = halo_pad_cols(x_l, "x")  # (h, wl + 2)
+            # fold the ghosts back in so the output keeps the sharded width:
+            # left ghost + own + right ghost summed three-point horizontally
+            wl = x_l.shape[-1]
+            return padded[:, 0:wl] + padded[:, 1 : wl + 1] + padded[:, 2 : wl + 2]
+
+        got = np.asarray(jax.jit(run)(a_s))
+        ap = np.pad(a, ((0, 0), (1, 1)))
+        want = ap[:, 0:w] + ap[:, 1 : w + 1] + ap[:, 2 : w + 2]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_boundary_fill_value(self):
+        import functools
+
+        from satellite_approximation_tpu.parallel.halo import halo_pad_cols
+
+        mesh = jax.make_mesh((2,), ("x",))
+        a = jnp.ones((4, 8), jnp.float32)
+        a_s = jax.device_put(a, NamedSharding(mesh, P(None, "x")))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P(None, "x"), out_specs=P(None, "x")
+        )
+        def run(x_l):
+            p = halo_pad_cols(x_l, "x", boundary_value=7.0)
+            return p[:, : x_l.shape[-1]]  # left ghost + all but last own col
+
+        got = np.asarray(jax.jit(run)(a_s))
+        # shard 0's left ghost is the boundary fill; shard 1's is shard 0's
+        # edge column (1.0)
+        assert got[0, 0] == 7.0
+        assert got[0, 4] == 1.0
+
+
+class TestSharded2D:
+    """2-D ('b','y','x') spatial mesh (SURVEY §2.5 P6's stated design)."""
+
+    def test_split_rows_cols_policy(self):
+        from satellite_approximation_tpu.parallel.mesh import split_rows_cols
+
+        assert split_rows_cols(8) == (4, 2)
+        assert split_rows_cols(4) == (2, 2)
+        assert split_rows_cols(16) == (4, 4)
+        assert split_rows_cols(6) == (3, 2)
+        assert split_rows_cols(7) == (7, 1)
+        for n in (1, 2, 3, 4, 6, 8, 12, 16):
+            y, x = split_rows_cols(n)
+            assert y * x == n and y >= x
+
+    def test_2d_matches_single_device(self):
+        from satellite_approximation_tpu.parallel.mesh import spatial_mesh_2d
+        from satellite_approximation_tpu.parallel.mg import sharded_mg_solve_2d
+
+        mesh = spatial_mesh_2d(8)  # (1, 4, 2)
+        assert mesh.shape == {"b": 1, "y": 4, "x": 2}
+        rng = np.random.default_rng(12)
+        c, h, w = 2, 256, 192
+        umask = np.zeros((h, w), bool)
+        umask[10:250, 8:180] = True
+        deg = neighbor_degree((h, w))
+        b = (rng.random((c, h, w)) * umask).astype(np.float32)
+        x, iters, rel = sharded_mg_solve_2d(
+            b, np.zeros_like(b), umask, deg, mesh, tolerance=1e-7, max_iterations=200
+        )
+        assert np.all(np.asarray(rel) <= 1e-7)
+        ref = solve_masked_poisson(
+            b.astype(np.float64), umask, deg=deg, tolerance=1e-10,
+            refinement_steps=4, max_iterations=50000,
+        )
+        np.testing.assert_allclose(np.asarray(x), ref.x, atol=1e-6)
+        assert int(iters) > 0
+
+    def test_2d_padding_path(self):
+        # both dims non-divisible by the alignment: exercises 2-D padding
+        from satellite_approximation_tpu.parallel.mesh import spatial_mesh_2d
+        from satellite_approximation_tpu.parallel.mg import sharded_mg_solve_2d
+
+        mesh = spatial_mesh_2d(4, shape=(1, 2, 2))
+        rng = np.random.default_rng(13)
+        c, h, w = 2, 250, 130
+        umask = np.zeros((h, w), bool)
+        umask[5:245, 5:125] = True
+        b = (rng.random((c, h, w)) * umask).astype(np.float32)
+        x, iters, rel = sharded_mg_solve_2d(
+            b, np.zeros_like(b), umask, None, mesh, tolerance=1e-6,
+            max_iterations=200,
+        )
+        assert x.shape == (c, h, w)
+        assert np.all(np.asarray(rel) <= 1e-6)
+
+    def test_2d_fill_routes_through_mesh(self):
+        from satellite_approximation_tpu.models.fill import laplace_fill
+        from satellite_approximation_tpu.parallel.fill import sharded_fill
+        from satellite_approximation_tpu.parallel.mesh import spatial_mesh_2d
+
+        mesh = spatial_mesh_2d(4, shape=(1, 2, 2))
+        rng = np.random.default_rng(14)
+        h, w = 128, 96
+        image = (rng.random((h, w)) * 50).astype(np.float64)
+        umask = np.zeros((h, w), bool)
+        umask[30:100, 20:80] = True
+        filled, iters, rel = sharded_fill(image, umask, mesh, tolerance=1e-7)
+        assert rel <= 1e-7
+        filled = np.asarray(filled)
+        np.testing.assert_array_equal(filled[~umask], image[~umask])
+        ref = laplace_fill(
+            image, umask, tolerance=1e-9, refinement_steps=4, device_output=False
+        )
+        np.testing.assert_allclose(filled, np.asarray(ref.x), atol=5e-5)
+
+    def test_iteration_parity_2d_vs_rows_only(self):
+        """At sizes where the hierarchy alignment makes padding a no-op, the
+        (y=2,x=2) 2-D solve, the (y=2,x=1) degenerate-column solve, and the
+        1-D row-sharded solve all run the SAME global operator, so iteration
+        counts must be exactly equal (VERDICT r3 item 2's 'done' bar)."""
+        from satellite_approximation_tpu.parallel.mesh import (
+            spatial_band_mesh,
+            spatial_mesh_2d,
+        )
+        from satellite_approximation_tpu.parallel.mg import (
+            sharded_mg_solve,
+            sharded_mg_solve_2d,
+        )
+
+        rng = np.random.default_rng(15)
+        c, h, w = 2, 256, 256
+        umask = np.zeros((h, w), bool)
+        umask[16:240, 10:200] = True
+        b = (rng.random((c, h, w)) * umask).astype(np.float32)
+        x0 = np.zeros_like(b)
+
+        runs = {}
+        for label, solve, mesh in (
+            ("2d_2x2", sharded_mg_solve_2d, spatial_mesh_2d(4, shape=(1, 2, 2))),
+            ("2d_2x1", sharded_mg_solve_2d, spatial_mesh_2d(2, shape=(1, 2, 1))),
+            ("rows_1d", sharded_mg_solve, spatial_band_mesh(2, shape=(1, 2))),
+        ):
+            x, iters, rel = solve(
+                b, x0, umask, None, mesh, tolerance=1e-6, max_iterations=200
+            )
+            runs[label] = (np.asarray(x), int(iters), np.asarray(rel))
+        iters = {k: v[1] for k, v in runs.items()}
+        assert len(set(iters.values())) == 1, f"iteration counts differ: {iters}"
+        assert np.all(runs["2d_2x2"][2] <= 1e-6)
+        np.testing.assert_allclose(runs["2d_2x2"][0], runs["rows_1d"][0], atol=1e-8)
+
+    def test_comm_volume_report_2d(self):
+        from satellite_approximation_tpu.parallel.mg import (
+            comm_volume_report,
+            comm_volume_report_2d,
+        )
+
+        umask = np.zeros((1024, 1024), bool)
+        umask[64:960, 64:900] = True
+        r2 = comm_volume_report_2d(1024, 1024, 1, 4, 4, umask)
+        r1 = comm_volume_report(1024, 1024, 1, 16, umask)
+        assert r2["distributed_levels"] >= 2
+        assert r2["bytes_per_pcg_iteration"] > 0
+        # the point of the 2-D mesh: per-shard halo perimeter shrinks as
+        # 4W/sqrt(N) while rows-only stays at 2W — at 16 devices the 2-D
+        # tiling must move fewer halo bytes per shard per iteration
+        assert r2["bytes_per_pcg_iteration"] < r1["bytes_per_pcg_iteration"]
+        for (ly, lx) in r2["local_tile_per_level"]:
+            assert ly >= 1 and lx >= 1
+
+
 class TestShardingConvergenceParity:
     def test_iteration_count_independent_of_sharding(self):
         """Spatial sharding must not change the numerics: the sharded MG-PCG
