@@ -55,7 +55,7 @@ def main():
 
     # ---- total fused solve (ground truth) ----
     def total_solve():
-        x64, iters, rn, bn = fillmod._fused_refine_solve(
+        x_hi, x_lo, iters, rn, bn = fillmod._fused_refine_solve(
             img, img, umask_j, deg_j, hier, jnp.float64(1e-6),
             max_iterations=200, refinement_steps=3,
             precond_dtype=pdtype, use_multigrid=True, mode="laplace",

@@ -245,14 +245,16 @@ def solve_masked_poisson(
     # one fused program: the f64 refinement loop (adaptive inner tolerance —
     # each inner f32 CG only covers the *remaining* reduction factor) and
     # the CG while_loop compile together; only the final norms come back
-    from .fill import _fused_refine_solve
+    from .fill import _fused_refine_solve, _recombine64
 
-    x64_j, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+    x_hi, x_lo, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
         b64_j, x064, umask_j, deg_j, (), jnp.float64(tolerance),
         max_iterations=max_iterations,
         refinement_steps=max(refinement_steps, 1),
         precond_dtype=jnp.float32, use_multigrid=False, mode="rhs",
     )
+    # f64 surface kept for callers; the solve itself runs double-float f32
+    x64_j = _recombine64(x_hi, x_lo)
     # ONE batched fetch: separate np.asarray calls each pay a link RTT
     iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
     total_iters = int(iters_v)

@@ -68,18 +68,70 @@ def _residual_from_image(img32, x64, umask, deg):
 
 
 @jax.jit
-def _composite(img32: jnp.ndarray, x64: jnp.ndarray, umask: jnp.ndarray):
+def _composite(img32: jnp.ndarray, x_hi: jnp.ndarray, x_lo: jnp.ndarray, umask: jnp.ndarray):
     """Known pixels from the input, solved values over the mask — always in
-    f32 (integer-dtype inputs upload as-is to halve H2D; casting x64 to an
-    integer dtype would truncate the solution)."""
+    f32 (integer-dtype inputs upload as-is to halve H2D; casting the solve
+    result to an integer dtype would truncate the solution). x_hi + x_lo is
+    the correctly-rounded f32 solution (|x_lo| <= eps|x_hi|)."""
     umf = umask.astype(jnp.float32)
-    return img32.astype(jnp.float32) * (1.0 - umf) + x64.astype(jnp.float32) * umf
+    return img32.astype(jnp.float32) * (1.0 - umf) + (x_hi + x_lo) * umf
 
 
 @jax.jit
-def _gather_masked(x64: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    """Solved f64 values at the unknown pixels, (C, n)."""
-    return x64[:, iy, ix]
+def _gather_masked(
+    x_hi: jnp.ndarray, x_lo: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray
+) -> jnp.ndarray:
+    """Solved f64 values at the unknown pixels, (C, n): the double-float
+    pair recombines in f64 on the gathered vector only — never a full-tile
+    emulated-f64 pass."""
+    return x_hi[:, iy, ix].astype(jnp.float64) + x_lo[:, iy, ix].astype(jnp.float64)
+
+
+@jax.jit
+def _recombine64(x_hi: jnp.ndarray, x_lo: jnp.ndarray) -> jnp.ndarray:
+    """Double-float pair -> f64 array, for callers whose API surface is f64
+    (multigrid.solve, solve_masked_poisson)."""
+    return x_hi.astype(jnp.float64) + x_lo.astype(jnp.float64)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: returns (s, e) with s + e == a + b EXACTLY (branch-free,
+    6 flops). Safe under XLA: jax never enables unsafe FP reassociation."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _shift_taps(x):
+    """The four in-image 4-neighbour taps (zero outside), as separate arrays
+    so callers can feed them through an exact summation cascade."""
+    h, w = x.shape[-2], x.shape[-1]
+    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+    return (
+        p[..., 0:h, 1 : w + 1],
+        p[..., 2 : h + 2, 1 : w + 1],
+        p[..., 1 : h + 1, 0:w],
+        p[..., 1 : h + 1, 2 : w + 2],
+    )
+
+
+def _cascade(terms):
+    """Neumaier compensated sum of f32 terms: (s, c) with s + c capturing the
+    exact sum to ~2^-48 relative — every individual rounding error is
+    recovered by TwoSum and accumulated in c."""
+    s, c = _two_sum(terms[0], terms[1])
+    for t in terms[2:]:
+        s, e = _two_sum(s, t)
+        c = c + e
+    return s, c
+
+
+def _norm64(x32):
+    """||x|| with the squares accumulated in f64 (elementwise squares stay
+    f32; only the tree reduction runs emulated — negligible next to an
+    all-f64 pass)."""
+    return jnp.sqrt(jnp.sum((x32 * x32).astype(jnp.float64), axis=(-2, -1)))
 
 
 @functools.partial(
@@ -102,8 +154,9 @@ def _fused_refine_solve(
     use_multigrid,
     mode="laplace",
 ):
-    """The WHOLE solve — f64 residual refinement around an inner f32 (P)CG —
-    as one compiled program: zero host round trips until the final norms.
+    """The WHOLE solve — compensated-f32 residual refinement around an inner
+    f32 (P)CG — as one compiled program: zero host round trips until the
+    final norms.
 
     The host-driven variant (solve -> fetch rnorm -> adapt inner_tol ->
     solve ...) pays 2+ host<->device synchronizations per refinement pass;
@@ -112,8 +165,18 @@ def _fused_refine_solve(
     nested (P)CG while_loop all trace into a single XLA program — the
     compiler-friendly-control-flow answer (lax.while_loop, static shapes).
 
+    Precision design (round 4): TPUs have no f64 ALUs — XLA emulates f64 in
+    software, and the previous all-f64 residual pass measured 203 ms/eval at
+    10980^2 vs 45 ms for f32 (benchmarks/x_overhead.py), ~45% of per-band
+    solve time. The refinement state is now a DOUBLE-FLOAT pair (x_hi, x_lo)
+    and each residual is an error-free TwoSum cascade over the stencil terms
+    (~2^-48 effective precision, bit-identical to the f64 pass on u16-scale
+    inputs — benchmarks/x_dfloat.py), at 77 ms/eval. Key identities: the
+    known/unknown supports are disjoint so known + x_hi is exact, and
+    deg*x = 4*x - k*x with k = 4 - deg in {0,1,2} makes both products exact.
+
     ``mode`` selects the RHS assembly (recomputed in-graph each residual
-    pass so the f64 b never persists in HBM):
+    pass so b never persists in HBM):
 
     * "laplace": b = known-neighbour Dirichlet sums of ``img32``
       (laplace.cpp:71-106); x0 = img32 over the mask.
@@ -122,66 +185,102 @@ def _fused_refine_solve(
       (solveWithGuess parity, poisson.cpp:231-257).
     * "rhs": ``img32`` IS the f64 right-hand side and ``rep32`` the f64
       warm start — the raw-system entry for multigrid.solve and
-      solve_masked_poisson.
+      solve_masked_poisson (split hi/lo once at entry).
 
-    Returns (x64, iterations, rnorm_per_band, bnorm_per_band).
+    Returns (x_hi, x_lo, iterations, rnorm_per_band, bnorm_per_band):
+    x_hi + x_lo is the solution to ~2^-48; callers that need f64 add the
+    pair in f64 (multigrid.solve), f32 consumers take x_hi + x_lo directly.
     """
     from .cg import _cg_core
     from . import multigrid as _mg
 
-    um64 = umask.astype(jnp.float64)
-    deg64 = deg.astype(jnp.float64)
+    umf = umask.astype(jnp.float32)
+    k = (4.0 - deg.astype(jnp.float32)) * umf  # in {0,1,2} on unknowns
 
-    def b64():
+    if mode == "rhs":
+        b_hi = img32.astype(jnp.float32)
+        b_lo = (img32 - b_hi.astype(jnp.float64)).astype(jnp.float32)
+        b_hi = b_hi * umf
+        b_lo = b_lo * umf
+        x_hi = rep32.astype(jnp.float32)
+        x_lo = (rep32 - x_hi.astype(jnp.float64)).astype(jnp.float32)
+        x_hi = x_hi * umf
+        x_lo = x_lo * umf
+        known = None
+        g = None
+    else:
+        known = img32.astype(jnp.float32) * (1.0 - umf)
+        if mode == "poisson":
+            g = rep32.astype(jnp.float32)
+            src = g
+        else:
+            g = None
+            src = img32.astype(jnp.float32)
+        x_hi = src * umf
+        x_lo = jnp.zeros_like(x_hi)
+        b_hi = b_lo = None
+
+    def residual(x_hi, x_lo):
+        """r = (b - A(x_hi + x_lo)) * um via one exact cascade over the hi
+        terms; lo terms contribute at eps^2 and sum in plain f32."""
         if mode == "rhs":
-            return img32.astype(jnp.float64) * um64
-        inp64 = img32.astype(jnp.float64)
-        dirichlet = shift_sum(inp64 * (1.0 - um64)) * um64
-        if mode == "laplace":
-            return dirichlet
-        g = rep32.astype(jnp.float64)
-        return (deg64 * g - shift_sum(g)) * um64 + dirichlet
+            hi_terms = list(_shift_taps(x_hi)) + [b_hi, -4.0 * x_hi, k * x_hi]
+            lo_extra = b_lo
+        else:
+            y_hi = known + x_hi  # disjoint supports: exact
+            hi_terms = list(_shift_taps(y_hi)) + [-4.0 * x_hi, k * x_hi]
+            if mode == "poisson":
+                hi_terms += [-t for t in _shift_taps(g)] + [4.0 * g, -(k * g)]
+            lo_extra = None
+        s, c = _cascade(hi_terms)
+        l1, l2, l3, l4 = _shift_taps(x_lo)
+        lo = l1 + l2 + l3 + l4 - 4.0 * x_lo + k * x_lo
+        if lo_extra is not None:
+            lo = lo + lo_extra
+        r = (s + (c + lo)) * umf
+        return r, _norm64(r)
 
-    def residual(x64):
-        x = x64 * um64
-        ax = (deg64 * x - shift_sum(x)) * um64
-        r = (b64() - ax) * um64
-        return r, jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
+    def bnorm_():
+        if mode == "rhs":
+            s, c = _two_sum(b_hi, b_lo)
+            return _norm64(s + c)
+        bt = list(_shift_taps(known))
+        if mode == "poisson":
+            bt += [-t for t in _shift_taps(g)] + [4.0 * g, -(k * g)]
+        s, c = _cascade(bt)
+        return _norm64((s + c) * umf)
 
-    src64 = (img32 if mode == "laplace" else rep32).astype(jnp.float64)
-    x64 = src64 * um64
-    b0 = b64()
-    bnorm = jnp.sqrt(jnp.sum(b0 * b0, axis=(-2, -1)))
+    bnorm = bnorm_()
     target = jnp.maximum(tolerance * bnorm, jnp.finfo(jnp.float64).tiny)
     tol_floor = _mg.INNER_TOL_FLOOR if use_multigrid else 5e-8
 
-    r64, rnorm = residual(x64)
+    r_hi, rnorm = residual(x_hi, x_lo)
 
     def cond(state):
-        step, _, _, rnorm, _ = state
+        step, _, _, _, rnorm, _ = state
         return jnp.logical_and(jnp.any(rnorm > target), step < refinement_steps)
 
     def body(state):
-        step, x64, r64, rnorm, iters = state
+        step, x_hi, x_lo, r_hi, rnorm, iters = state
         needed = jnp.min(target / jnp.maximum(rnorm, 1e-300))
         inner_tol = jnp.clip(0.5 * needed, tol_floor, 0.5).astype(jnp.float32)
-        r32 = r64.astype(jnp.float32)
-        z32 = jnp.zeros(r64.shape, jnp.float32)
+        z32 = jnp.zeros(r_hi.shape, jnp.float32)
         if use_multigrid:
             d, it, _ = _mg._pcg_core(
-                r32, z32, inner_tol, levels_j,
+                r_hi, z32, inner_tol, levels_j,
                 max_iterations=max_iterations, precond_dtype=precond_dtype,
             )
         else:
-            d, it, _ = _cg_core(r32, z32, umask, deg, inner_tol, max_iterations)
-        x64 = x64 + d.astype(jnp.float64) * um64
-        r64, rnorm = residual(x64)
-        return step + 1, x64, r64, rnorm, iters + it
+            d, it, _ = _cg_core(r_hi, z32, umask, deg, inner_tol, max_iterations)
+        x_hi, e = _two_sum(x_hi, d * umf)
+        x_lo = x_lo + e
+        r_hi, rnorm = residual(x_hi, x_lo)
+        return step + 1, x_hi, x_lo, r_hi, rnorm, iters + it
 
-    _, x64, r64, rnorm, iters = lax.while_loop(
-        cond, body, (jnp.int32(0), x64, r64, rnorm, jnp.int32(0))
+    _, x_hi, x_lo, r_hi, rnorm, iters = lax.while_loop(
+        cond, body, (jnp.int32(0), x_hi, x_lo, r_hi, rnorm, jnp.int32(0))
     )
-    return x64, iters, rnorm, bnorm
+    return x_hi, x_lo, iters, rnorm, bnorm
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -334,9 +433,9 @@ def laplace_fill(
             chunk = img32[s:e]
             rchunk = rep32[s:e] if replacement is not None else None
         t_solve0 = _time.perf_counter()
-        # one fused program: f64 refinement + inner (P)CG, single dispatch,
-        # norms are the only values that cross back to the host
-        x64, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+        # one fused program: compensated-f32 refinement + inner (P)CG, single
+        # dispatch, norms are the only values that cross back to the host
+        x_hi, x_lo, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
             chunk,
             chunk if rchunk is None else rchunk,
             umask_j,
@@ -356,11 +455,11 @@ def laplace_fill(
         solve_s += _time.perf_counter() - t_solve0
         if masked_values_output:
             # compact D2H: n f64 values per band instead of the full raster
-            masked_vals.append(_np.asarray(_gather_masked(x64, iy, ix)))
-            del chunk, x64
+            masked_vals.append(_np.asarray(_gather_masked(x_hi, x_lo, iy, ix)))
+            del chunk, x_hi, x_lo
             continue
-        out_chunk = _composite(chunk, x64, umask_j)
-        del chunk, x64
+        out_chunk = _composite(chunk, x_hi, x_lo, umask_j)
+        del chunk, x_hi, x_lo
         if band_sink is not None:
             band_sink(s, e, out_chunk)
             del out_chunk

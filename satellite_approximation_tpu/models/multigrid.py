@@ -715,14 +715,17 @@ def solve(
     # ~1e-4 against a finite-precision preconditioner grinds iterations
     # near its noise floor) and the inner PCG while_loop compile together;
     # only the final norms cross back to the host
-    from .fill import _fused_refine_solve
+    from .fill import _fused_refine_solve, _recombine64
 
-    x64_j, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+    x_hi, x_lo, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
         b64_j, x064, umask_j, deg_j, hier, jnp.float64(tolerance),
         max_iterations=max_iterations,
         refinement_steps=max(refinement_steps, 1),
         precond_dtype=pdtype, use_multigrid=True, mode="rhs",
     )
+    # f64 surface kept for callers; the recombine is the only emulated-f64
+    # pass (the solve itself runs double-float f32 — see _fused_refine_solve)
+    x64_j = _recombine64(x_hi, x_lo)
     # ONE batched fetch: separate np.asarray calls each pay a link RTT
     iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
     total_iters = int(iters_v)
