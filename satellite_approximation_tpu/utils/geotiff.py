@@ -86,11 +86,17 @@ class GeoTIFF:
             im.load()
         except Exception as e:  # noqa: BLE001
             # PIL has no mode for N-band planar rasters (the format our
-            # multi-band writer and GDAL produce) — fall back to the
-            # minimal parser.
+            # multi-band writer and GDAL produce) and rejects BigTIFF —
+            # fall back to the minimal codec (utils/tiffmb: BigTIFF, tiles,
+            # deflate/LZW), then to rasterio/GDAL if it happens to be
+            # installed (the reference reads anything GDAL does,
+            # geotiff.h:234-273; rasterio is optional in this image).
             try:
                 return cls._open_multiband(path)
             except Exception:  # noqa: BLE001
+                rio = cls._open_rasterio(path)
+                if rio is not None:
+                    return rio
                 raise IOError_(f"Failed to open GeoTIFF: {e}", path) from e
         frames = []
         tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
@@ -133,6 +139,29 @@ class GeoTIFF:
             tags=tags,
             _frames=list(arr),
         )
+
+    @classmethod
+    def _open_rasterio(cls, path: Path) -> "GeoTIFF | None":
+        """Optional GDAL-grade fallback for exotic rasters (JPEG-in-TIFF,
+        sparse files, external overviews, ...). Returns None when rasterio
+        is not installed — the two native readers cover everything the
+        checked-in pipeline produces."""
+        try:
+            import rasterio  # type: ignore[import-not-found]
+        except ImportError:
+            return None
+        with rasterio.open(path) as ds:
+            arr = ds.read()  # (C, H, W)
+            t = ds.transform
+            gt = (t.c, t.a, t.b, t.f, t.d, t.e)
+            return cls(
+                path=path,
+                width=ds.width,
+                height=ds.height,
+                geo_transform=gt,
+                tags={},
+                _frames=list(arr),
+            )
 
     # ----- reads (geotiff.h:234-273; band index is 1-based like GDAL) -----
 
@@ -261,13 +290,18 @@ def write_geotiff(
     automatic_detection.cpp:106-108, 217-233 and poisson-main.cpp:66-71).
 
     2-D writes go through PIL (compressed); 3-D writes produce one planar
-    multi-band TIFF via the minimal codec (uncompressed)."""
+    multi-band TIFF via the minimal codec (deflate when compression is
+    requested; BigTIFF offsets engage automatically past the classic 4 GB
+    limit — a 13-band f32 tile is 6.3 GB)."""
     values = np.asarray(values)
     if values.ndim == 3:
         from .tiffmb import write_multiband_tiff
 
         write_multiband_tiff(
-            values, output_path, extra_tags=_geo_tags_from_template(template_path)
+            values,
+            output_path,
+            extra_tags=_geo_tags_from_template(template_path),
+            compression="deflate" if compression else None,
         )
         return
     if values.ndim != 2:

@@ -102,6 +102,86 @@ class TestGeoTIFF:
         assert got.dtype == np.dtype(dtype)
         np.testing.assert_array_equal(got, data)
 
+    def test_bigtiff_roundtrip(self, tmp_path):
+        """BigTIFF (version 43, 8-byte offsets): PIL rejects it, so reads
+        route through the minimal codec. The reference gets this from GDAL
+        (geotiff.h:234-273); outputs beyond 4 GB require it."""
+        from satellite_approximation_tpu.utils.tiffmb import (
+            read_tiff_tags, write_multiband_tiff,
+        )
+
+        rng = np.random.default_rng(11)
+        data = (rng.random((3, 33, 47)) * 1e4).astype(np.float32)
+        out = tmp_path / "big.tif"
+        write_multiband_tiff(data, out, bigtiff=True)
+        _, magic = __import__("struct").unpack("<2sH", out.read_bytes()[:4])
+        assert magic == 43
+        t = GeoTIFF.open(out)
+        np.testing.assert_array_equal(t.read_all(), data)
+        tags, little = read_tiff_tags(out.read_bytes())
+        assert little and tags[256] == 47
+
+    def test_tiled_deflate_roundtrip(self, tmp_path):
+        """Tiled + deflate-compressed layout, incl. edge tiles that need
+        cropping (33x47 image, 16x16 tiles)."""
+        from satellite_approximation_tpu.utils.tiffmb import (
+            read_multiband_tiff, write_multiband_tiff,
+        )
+
+        rng = np.random.default_rng(12)
+        for dtype in (np.uint16, np.float32):
+            data = (rng.random((2, 33, 47)) * 9e3).astype(dtype)
+            out = tmp_path / f"tiled_{np.dtype(dtype).name}.tif"
+            write_multiband_tiff(
+                data, out, tile=(16, 16), compression="deflate", bigtiff=True
+            )
+            got, tags = read_multiband_tiff(out)
+            assert tags[322] == 16 and tags[259] == 8  # TileWidth, deflate
+            np.testing.assert_array_equal(got, data)
+
+    def test_pil_written_compressed_variants(self, tmp_path):
+        """Files other tools produce: PIL-encoded LZW and deflate strips
+        must read back through both GeoTIFF.open (PIL path) and the minimal
+        codec (the BigTIFF/planar fallback's decoder)."""
+        from satellite_approximation_tpu.utils.tiffmb import read_multiband_tiff
+        from PIL import Image
+
+        rng = np.random.default_rng(13)
+        data = (rng.random((40, 60)) * 255).astype(np.uint8)
+        for comp in ("tiff_lzw", "tiff_adobe_deflate"):
+            out = tmp_path / f"{comp}.tif"
+            Image.fromarray(data).save(out, compression=comp)
+            np.testing.assert_array_equal(GeoTIFF.open(out).read(), data)
+            got, tags = read_multiband_tiff(out)
+            np.testing.assert_array_equal(got[0], data)
+
+    def test_non_wgs84_geotransform(self, tmp_path):
+        """Projected (UTM zone 12N, like real Sentinel-2 L2A) geotransform:
+        ModelPixelScale/Tiepoint in metres + a projected GeoKeyDirectory.
+        The geodetic helpers operate on geotransform coordinates and must
+        roundtrip in the projected frame too."""
+        from satellite_approximation_tpu.utils.tiffmb import write_multiband_tiff
+
+        data = (np.arange(30 * 20) % 251).astype(np.uint16).reshape(1, 30, 20)
+        out = tmp_path / "utm.tif"
+        # 10 m pixels anchored at easting 399960, northing 6300040 (UTM)
+        geo_tags = [
+            (33550, 12, (10.0, 10.0, 0.0)),  # ModelPixelScale
+            (33922, 12, (0.0, 0.0, 0.0, 399960.0, 6300040.0, 0.0)),  # Tiepoint
+            # GeoKeyDirectory: projected CRS, EPSG:32612
+            (34735, 3, (1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 32612)),
+        ]
+        write_multiband_tiff(data, out, extra_tags=geo_tags)
+        t = GeoTIFF.open(out)
+        assert t.geo_transform == pytest.approx(
+            (399960.0, 10.0, 0.0, 6300040.0, 0.0, -10.0)
+        )
+        assert t.west() == pytest.approx(399960.0)
+        assert t.north() == pytest.approx(6300040.0)
+        assert t.east() == pytest.approx(399960.0 + 20 * 10.0)
+        y, x = t.mid_point_of_pixel(7, 13)
+        assert t.index_at(y, x) == (7, 13)
+
     def test_multiband_single_band_degenerate(self, tmp_path):
         data = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
         out = tmp_path / "one.tif"
