@@ -374,23 +374,21 @@ def _prolong(e, fine_shape):
 
 
 def _padded_md_for_levels(levels_j):
-    """Per-level (padded mask, padded deg) for levels the Pallas smoother
-    will take, None elsewhere — built ONCE per solve (outside the PCG
-    while_loop) so each smoother call skips its mask/deg pad copies; the
-    padded u/b state lives inside :func:`_v_cycle`'s padded branch."""
-    from ..ops.pallas_kernels import HALO_R, pad_for_kernel, pallas_available
+    """Per-level padded ``invm`` operand (the kernel's merged mask+degree
+    window, ops/pallas_kernels.invm_for_kernel) for levels the Pallas
+    smoother will take, None elsewhere — built ONCE per solve (outside the
+    PCG while_loop) so each smoother call skips its pad copies; the padded
+    u/b state lives inside :func:`_v_cycle`'s padded branch."""
+    from ..ops.pallas_kernels import (
+        HALO_R, invm_for_kernel, pad_for_kernel, pallas_available,
+    )
 
     sweeps = max(_PRE_SMOOTH + 1, _POST_SMOOTH)
     out = []
     for um, deg in levels_j:
         h, w = um.shape[-2], um.shape[-1]
         if pallas_available() and h * w >= 512 * 512 and sweeps <= HALO_R:
-            out.append(
-                (
-                    pad_for_kernel(um, h, w),
-                    pad_for_kernel(deg, h, w, value=1.0),
-                )
-            )
+            out.append(pad_for_kernel(invm_for_kernel(um, deg), h, w))
         else:
             out.append(None)
     return tuple(out)
@@ -459,20 +457,20 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
             slice_from_kernel,
         )
 
-        ump, degp = pmd
+        invmp = pmd
         h, w = um.shape[-2], um.shape[-1]
         bp = pad_for_kernel(b, h, w)
         if u_is_zero:
             # zero-start pre-smooth: the u operand (and its pad copy + DMA)
             # disappears entirely — see fused_jacobi_zero_tpu
             up, rp = fused_jacobi_zero_tpu_padded(
-                bp, ump, degp, h, w, sweeps=len(pre), omega=pre,
+                bp, invmp, h, w, sweeps=len(pre), omega=pre,
                 emit_residual=True,
             )
         else:
             up = pad_for_kernel(u, h, w)
             up, rp = fused_jacobi_tpu_padded(
-                up, bp, ump, degp, h, w, sweeps=len(pre), omega=pre,
+                up, bp, invmp, h, w, sweeps=len(pre), omega=pre,
                 emit_residual=True,
             )
         r = slice_from_kernel(rp, h, w)
@@ -485,7 +483,7 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
         corr = _prolong(e_c, u.shape) * um.astype(u.dtype)
         up = up + pad_for_kernel(corr, h, w)  # pad fuses into the add
         up = fused_jacobi_tpu_padded(
-            up, bp, ump, degp, h, w, sweeps=len(post), omega=post
+            up, bp, invmp, h, w, sweeps=len(post), omega=post
         )
         return slice_from_kernel(up, h, w)
     u, r = _smooth_residual(u, b, um, deg, pre, u_is_zero=u_is_zero)

@@ -81,77 +81,149 @@ def _kernel_factory(
     out_off_c: int = 0,
     zero_start: bool = False,
 ):
+    """Round-4 kernel: merged mask+degree operand and double-buffered DMA.
+
+    * The mask and degree windows collapse into ONE ``invm`` operand
+      (invm = 1/deg on unknowns, 0 elsewhere): unknown = invm > 0,
+      inv = invm, and deg reconstructs in-window as 1/invm — EXACT for the
+      stencil's degree values {1,2,3,4} (1/(1/d) roundtrips bit-perfectly;
+      verified for all four). Input DMA drops from 4 windows to 3 (2 for
+      zero-start).
+    * Tiles stream through a 2-deep pipeline: tile t+1's input DMAs run
+      while tile t computes, and output DMAs drain asynchronously (waited
+      two tiles later, before their buffer is reused). The previous serial
+      kernel waited every DMA inline — at full tile the window DMAs were
+      ~35% of smoother wall time.
+    """
     winr = strip + 2 * HALO_R
     winc = ctile + 2 * HALO_C
     # scalar omega = classic damped Jacobi; a tuple gives each sweep its
     # own weight (Chebyshev polynomial smoothing, models/multigrid)
     omegas = omega if isinstance(omega, tuple) else (float(omega),) * sweeps
     assert len(omegas) == sweeps
+    per_chan = n_strips * n_ctiles
+    n_tiles = channels * per_chan
 
     # zero_start: the smoother starts from u == 0 (ALWAYS the case for a
     # V-cycle pre-smoother — every level's incoming iterate is zeros). The
     # kernel then takes no u operand at all: the u DMA disappears (one full
     # array of HBM read traffic) and the first sweep collapses to
-    # u = omega0 * b / deg on unknowns — bit-identical to running the full
+    # u = omega0 * b * invm on unknowns — bit-identical to running the full
     # sweep against zeros (A·0 = 0), one sweep's rolls cheaper on the VPU.
     def kernel(*refs):
         if zero_start:
-            b_hbm, m_hbm, d_hbm, *outs_and_scratch = refs
+            b_hbm, im_hbm, *rest = refs
             u_hbm = None
         else:
-            u_hbm, b_hbm, m_hbm, d_hbm, *outs_and_scratch = refs
+            u_hbm, b_hbm, im_hbm, *rest = refs
         if emit_residual:
-            if zero_start:
-                out_hbm, res_hbm, sb, sm, sd, so, sr, sems = outs_and_scratch
-                su = None
-            else:
-                out_hbm, res_hbm, su, sb, sm, sd, so, sr, sems = outs_and_scratch
+            out_hbm, res_hbm = rest[0], rest[1]
+            scratch = rest[2:]
         else:
-            if zero_start:
-                out_hbm, sb, sm, sd, so, sems = outs_and_scratch
-                su = None
+            out_hbm, res_hbm = rest[0], None
+            scratch = rest[1:]
+        if zero_start:
+            su = None
+            if emit_residual:
+                sb, sim, so, sr, sems = scratch
             else:
-                out_hbm, su, sb, sm, sd, so, sems = outs_and_scratch
-            res_hbm = sr = None
+                sb, sim, so, sems = scratch
+                sr = None
+        else:
+            if emit_residual:
+                su, sb, sim, so, sr, sems = scratch
+            else:
+                su, sb, sim, so, sems = scratch
+                sr = None
         one = jnp.int32(1)
 
-        def tile_body(ci, i, j, carry):
-            r0 = i * jnp.int32(strip)
-            c0 = j * jnp.int32(ctile)
+        def coords(t):
+            ci = t // jnp.int32(per_chan)
+            rem = t % jnp.int32(per_chan)
+            r0 = (rem // jnp.int32(n_ctiles)) * jnp.int32(strip)
+            c0 = (rem % jnp.int32(n_ctiles)) * jnp.int32(ctile)
+            return ci, r0, c0
 
-            idx = [jnp.int32(t) for t in range(6)]
-            copies = [
+        def in_copies(t, sel):
+            ci, r0, c0 = coords(t)
+            cps = [
                 pltpu.make_async_copy(
-                    b_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)], sb, sems.at[idx[1]]
+                    b_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
+                    sb.at[sel],
+                    sems.at[sel, jnp.int32(0)],
                 ),
                 pltpu.make_async_copy(
-                    m_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)], sm, sems.at[idx[2]]
-                ),
-                pltpu.make_async_copy(
-                    d_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)], sd, sems.at[idx[3]]
+                    im_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)],
+                    sim.at[sel],
+                    sems.at[sel, jnp.int32(1)],
                 ),
             ]
             if not zero_start:
-                copies.append(
+                cps.append(
                     pltpu.make_async_copy(
                         u_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
-                        su,
-                        sems.at[idx[0]],
+                        su.at[sel],
+                        sems.at[sel, jnp.int32(2)],
                     )
                 )
-            for cp in copies:
-                cp.start()
-            for cp in copies:
+            return cps
+
+        def out_copy(t, sel):
+            ci, r0, c0 = coords(t)
+            return pltpu.make_async_copy(
+                so.at[sel],
+                out_hbm.at[
+                    ci,
+                    pl.ds(jnp.int32(out_off_r) + r0, strip),
+                    pl.ds(jnp.int32(out_off_c) + c0, ctile),
+                ],
+                sems.at[sel, jnp.int32(3)],
+            )
+
+        def res_copy(t, sel):
+            ci, r0, c0 = coords(t)
+            return pltpu.make_async_copy(
+                sr.at[sel],
+                res_hbm.at[
+                    ci,
+                    pl.ds(jnp.int32(out_off_r) + r0, strip),
+                    pl.ds(jnp.int32(out_off_c) + c0, ctile),
+                ],
+                sems.at[sel, jnp.int32(4)],
+            )
+
+        # prologue: tile 0's inputs start before the loop
+        for cp in in_copies(jnp.int32(0), jnp.int32(0)):
+            cp.start()
+
+        def body(t, carry):
+            sel = lax.rem(t, jnp.int32(2))
+            for cp in in_copies(t, sel):
                 cp.wait()
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                for cp in in_copies(t + 1, jnp.int32(1) - sel):
+                    cp.start()
+
+            # the out buffers recycle every 2 tiles: drain tile t-2's copies
+            # before overwriting their source VMEM
+            @pl.when(t >= 2)
+            def _():
+                out_copy(t - 2, sel).wait()
+                if emit_residual:
+                    res_copy(t - 2, sel).wait()
 
             # compute in f32 regardless of the storage dtype: tpu.dynamic_rotate
             # only supports 32-bit data, and bf16 inputs only need the DMA
             # traffic halved, not the arithmetic
-            m = sm[:, :].astype(jnp.float32)
-            deg = sd[:, :].astype(jnp.float32)
-            b = sb[:, :].astype(jnp.float32)
-            inv0 = jnp.where(deg > 0, 1.0 / deg, 0.0)
-            unknown = m > 0
+            invm = sim[sel].astype(jnp.float32)
+            b = sb[sel].astype(jnp.float32)
+            unknown = invm > 0
+            inv0 = invm
+            # exact degree reconstruction (1.0 where known/padded: the au
+            # value there is select-discarded, it just must stay finite)
+            deg = jnp.where(unknown, 1.0 / jnp.where(unknown, invm, 1.0), 1.0)
 
             # masking is SELECT-based, not multiply-based: where(m>0, u, 0)
             # equals u*m bit-for-bit at mask 1/0 values, but a select also
@@ -175,56 +247,49 @@ def _kernel_factory(
                 # just omega0 * b / deg on unknowns — bit-identical to the
                 # general sweep at u = 0 (see fused_jacobi_zero docstring)
                 u = jnp.where(unknown, omegas[0] * b * inv0, 0.0)
-                rest = omegas[1:]
+                rest_om = omegas[1:]
             else:
-                u = su[:, :].astype(jnp.float32)
-                rest = omegas
-            for om in rest:
+                u = su[sel].astype(jnp.float32)
+                rest_om = omegas
+            for om in rest_om:
                 au = deg * u - neighbor_sum(u)
                 u = jnp.where(unknown, u + om * (b - au) * inv0, u)
-            so[:, :] = u[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile].astype(
+            so[sel] = u[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile].astype(
                 so.dtype
             )
-            oro = jnp.int32(out_off_r)
-            oco = jnp.int32(out_off_c)
-            out_cp = pltpu.make_async_copy(
-                so,
-                out_hbm.at[ci, pl.ds(oro + r0, strip), pl.ds(oco + c0, ctile)],
-                sems.at[idx[4]],
-            )
-            out_cp.start()
+            out_copy(t, sel).start()
             if emit_residual:
                 # the post-smooth residual r = (b - A u) * m in the same
                 # window — interior needs one more exact ring, so
                 # sweeps + 1 <= HALO_R (asserted by the caller)
                 au = deg * u - neighbor_sum(u)
                 res = jnp.where(unknown, b - au, 0.0)
-                sr[:, :] = res[
+                sr[sel] = res[
                     HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile
                 ].astype(sr.dtype)
-                res_cp = pltpu.make_async_copy(
-                    sr,
-                    res_hbm.at[ci, pl.ds(oro + r0, strip), pl.ds(oco + c0, ctile)],
-                    sems.at[idx[5]],
-                )
-                res_cp.start()
-                res_cp.wait()
-            out_cp.wait()
+                res_copy(t, sel).start()
             return carry
 
-        def strip_loop(ci, i, carry):
-            return lax.fori_loop(
-                jnp.int32(0), jnp.int32(n_ctiles), lambda j, c: tile_body(ci, i, j, c), carry
-            )
-
-        def channel_loop(ci, carry):
-            return lax.fori_loop(
-                jnp.int32(0), jnp.int32(n_strips), lambda i, c: strip_loop(ci, i, c), carry
-            )
-
-        lax.fori_loop(jnp.int32(0), jnp.int32(channels), channel_loop, jnp.int32(0))
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+        # epilogue: the last one or two tiles' output copies are in flight
+        for dt in (2, 1):
+            if n_tiles >= dt:
+                t_last = n_tiles - dt
+                sel_last = jnp.int32(t_last % 2)
+                out_copy(jnp.int32(t_last), sel_last).wait()
+                if emit_residual:
+                    res_copy(jnp.int32(t_last), sel_last).wait()
 
     return kernel
+
+
+def invm_for_kernel(umask, deg):
+    """The kernel's merged mask+degree operand: 1/deg on unknowns, 0 on
+    knowns/padding. unknown = invm > 0; deg reconstructs exactly in-window
+    (1/(1/d) is bit-exact for d in {1,2,3,4})."""
+    degf = deg.astype(jnp.float32)
+    inv0 = jnp.where(degf > 0, 1.0 / degf, 0.0)
+    return jnp.where(umask.astype(jnp.float32) > 0, inv0, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "omega", "emit_residual"))
@@ -264,22 +329,20 @@ def fused_jacobi_tpu(
     dtype = u.dtype  # f32 or bf16 (the multigrid preconditioner runs bf16)
     up = pad_img(u)
     bp = pad_img(b.astype(dtype))
-    mp = pad_img(umask.astype(dtype))
-    dp = pad_img(deg.astype(dtype), value=1.0)
+    imp = pad_img(invm_for_kernel(umask, deg).astype(dtype))
 
     n_strips = hp // strip
     n_ctiles = wp // ctile
     out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
     scratch = [
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((strip, ctile), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, strip, ctile), dtype),
     ]
     if emit_residual:
-        scratch.append(pltpu.VMEM((strip, ctile), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        scratch.append(pltpu.VMEM((2, strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 5)))
     out = pl.pallas_call(
         _kernel_factory(
             sweeps,
@@ -288,7 +351,6 @@ def fused_jacobi_tpu(
         ),
         out_shape=(out_shape, out_shape) if emit_residual else out_shape,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -302,7 +364,7 @@ def fused_jacobi_tpu(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
-    )(up, bp, mp, dp)
+    )(up, bp, imp)
     if emit_residual:
         return out[0][:, :h, :w], out[1][:, :h, :w]
     return out[:, :h, :w]
@@ -334,8 +396,7 @@ def slice_from_kernel(x, h: int, w: int):
 def fused_jacobi_tpu_padded(
     up,
     bp,
-    umaskp,
-    degp,
+    invmp,
     h: int,
     w: int,
     sweeps: int = 8,
@@ -343,8 +404,10 @@ def fused_jacobi_tpu_padded(
     emit_residual: bool = False,
 ):
     """Padded-IO variant of :func:`fused_jacobi_tpu`: every operand is
-    already in the kernel's padded layout (:func:`pad_for_kernel`) and the
-    smoothed output comes back in the SAME layout.
+    already in the kernel's padded layout (:func:`pad_for_kernel`; the
+    mask+degree operand is the merged ``invmp`` from
+    :func:`invm_for_kernel`) and the smoothed output comes back in the
+    SAME layout.
 
     Why this exists: the convenience wrapper pads u/b/mask/deg and slices
     the output on EVERY call — four materialized pad copies plus a slice,
@@ -379,15 +442,14 @@ def fused_jacobi_tpu_padded(
     dtype = up.dtype
     out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
     scratch = [
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((strip, ctile), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, strip, ctile), dtype),
     ]
     if emit_residual:
-        scratch.append(pltpu.VMEM((strip, ctile), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        scratch.append(pltpu.VMEM((2, strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 5)))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         _kernel_factory(
@@ -403,18 +465,16 @@ def fused_jacobi_tpu_padded(
             out_off_c=HALO_C,
         ),
         out_shape=(out_shape, out_shape) if emit_residual else out_shape,
-        in_specs=[any_spec] * 4,
+        in_specs=[any_spec] * 3,
         out_specs=(any_spec, any_spec) if emit_residual else any_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
-    )(up, bp.astype(dtype), umaskp.astype(dtype), degp.astype(dtype))
+    )(up, bp.astype(dtype), invmp.astype(dtype))
 
 
-def _zero_call(
-    b, umask, deg, h, w, sweeps, omega, emit_residual, padded_io
-):
+def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
     """Shared pallas_call plumbing for the zero-start kernels."""
     assert (sweeps - 1) + (1 if emit_residual else 0) <= HALO_R
     if isinstance(omega, tuple):
@@ -428,25 +488,23 @@ def _zero_call(
         hp = hpad - 2 * HALO_R
         wp = wpad - 2 * HALO_C
         assert hp == -(-h // strip) * strip and wp == -(-w // ctile) * ctile
-        bp, mp, dp = b, umask, deg
+        bp, imp = b, invm
     else:
         hp = -(-h // strip) * strip
         wp = -(-w // ctile) * ctile
         hpad, wpad = hp + 2 * HALO_R, wp + 2 * HALO_C
         bp = pad_for_kernel(b, h, w)
-        mp = pad_for_kernel(umask, h, w)
-        dp = pad_for_kernel(deg, h, w, value=1.0)
+        imp = pad_for_kernel(invm, h, w)
     dtype = b.dtype
     out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
     scratch = [
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((winr, winc), dtype),
-        pltpu.VMEM((strip, ctile), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, strip, ctile), dtype),
     ]
     if emit_residual:
-        scratch.append(pltpu.VMEM((strip, ctile), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        scratch.append(pltpu.VMEM((2, strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 5)))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         _kernel_factory(
@@ -463,13 +521,13 @@ def _zero_call(
             zero_start=True,
         ),
         out_shape=(out_shape, out_shape) if emit_residual else out_shape,
-        in_specs=[any_spec] * 3,
+        in_specs=[any_spec] * 2,
         out_specs=(any_spec, any_spec) if emit_residual else any_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
-    )(bp, mp.astype(dtype), dp.astype(dtype))
+    )(bp, imp.astype(dtype))
     if padded_io:
         return out
     if emit_residual:
@@ -493,20 +551,24 @@ def fused_jacobi_zero_tpu(b, umask, deg, sweeps: int = 8, omega=0.8,
     sweep 1 is purely local, so (sweeps - 1) + residual ring <= HALO_R.
     """
     c, h, w = b.shape
-    return _zero_call(b, umask, deg, h, w, sweeps, omega, emit_residual, False)
+    return _zero_call(
+        b, invm_for_kernel(umask, deg).astype(b.dtype), h, w, sweeps, omega,
+        emit_residual, False,
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "sweeps", "omega", "emit_residual")
 )
 def fused_jacobi_zero_tpu_padded(
-    bp, umaskp, degp, h: int, w: int, sweeps: int = 8, omega=0.8,
+    bp, invmp, h: int, w: int, sweeps: int = 8, omega=0.8,
     emit_residual: bool = False,
 ):
     """Padded-IO zero-start variant: operands already in pad_for_kernel
-    layout, outputs come back in the same layout (interiors exact, rims
-    uninitialized — same contract as fused_jacobi_tpu_padded)."""
-    return _zero_call(bp, umaskp, degp, h, w, sweeps, omega, emit_residual, True)
+    layout (``invmp`` from :func:`invm_for_kernel`), outputs come back in
+    the same layout (interiors exact, rims uninitialized — same contract
+    as fused_jacobi_tpu_padded)."""
+    return _zero_call(bp, invmp, h, w, sweeps, omega, emit_residual, True)
 
 
 def pallas_available() -> bool:

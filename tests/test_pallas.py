@@ -106,6 +106,7 @@ class TestZeroStart:
         from satellite_approximation_tpu.ops.pallas_kernels import (
             fused_jacobi_zero_tpu,
             fused_jacobi_zero_tpu_padded,
+            invm_for_kernel,
             pad_for_kernel,
             slice_from_kernel,
         )
@@ -121,10 +122,9 @@ class TestZeroStart:
             b, um, dg, sweeps=6, omega=omegas, emit_residual=True
         )
         bp = pad_for_kernel(b, h, w)
-        ump = pad_for_kernel(um, h, w)
-        dgp = pad_for_kernel(jnp.asarray(dg, jnp.float32), h, w, value=1.0)
+        imp = pad_for_kernel(invm_for_kernel(um, dg), h, w)
         got_up, got_rp = fused_jacobi_zero_tpu_padded(
-            bp, ump, dgp, h, w, sweeps=6, omega=omegas, emit_residual=True
+            bp, imp, h, w, sweeps=6, omega=omegas, emit_residual=True
         )
         np.testing.assert_array_equal(
             np.asarray(slice_from_kernel(got_up, h, w)), np.asarray(want_u)
@@ -144,6 +144,7 @@ class TestPaddedIO:
         from satellite_approximation_tpu.ops.pallas_kernels import (
             fused_jacobi_tpu,
             fused_jacobi_tpu_padded,
+            invm_for_kernel,
             pad_for_kernel,
             slice_from_kernel,
         )
@@ -162,10 +163,9 @@ class TestPaddedIO:
         )
         up = pad_for_kernel(u, h, w)
         bp = pad_for_kernel(b, h, w)
-        ump = pad_for_kernel(um, h, w)
-        dgp = pad_for_kernel(jnp.asarray(dg, jnp.float32), h, w, value=1.0)
+        imp = pad_for_kernel(invm_for_kernel(um, dg), h, w)
         got_up, got_rp = fused_jacobi_tpu_padded(
-            up, bp, ump, dgp, h, w, sweeps=6, omega=omegas, emit_residual=True
+            up, bp, imp, h, w, sweeps=6, omega=omegas, emit_residual=True
         )
         np.testing.assert_array_equal(
             np.asarray(slice_from_kernel(got_up, h, w)), np.asarray(want_u)
