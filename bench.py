@@ -113,6 +113,88 @@ def bench_scipy(b, umask, deg, tol=TOL):
     return dt
 
 
+def pallas_parity():
+    """Chip-gated Mosaic-kernel parity certification, folded into the bench
+    artifact (VERDICT r3 item 4): every BENCH_r*.json now implicitly
+    certifies the production Pallas kernels and the grid-transfer lowerings
+    on the real chip. Compact by design (the full tests/test_pallas.py run
+    is ~11 min on the tunnel); covers the three hazard classes found so
+    far: smoother-vs-XLA drift, zero-start/padded bitwise equivalence, and
+    the round-3 reduce_window TRANSFER MISCOMPILE (exact at eager, wrong
+    under jit at coarse sizes >= 512^2 — see test_pallas.TestTransferLowering).
+
+    Returns "ok", "skipped (<backend>)", or "FAIL: <what>". Comparisons
+    reduce to scalars on device — nothing big crosses the tunnel.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return f"skipped ({jax.default_backend()})"
+    import jax.numpy as jnp
+    from jax import lax
+
+    from satellite_approximation_tpu.models.cg import masked_laplacian, neighbor_degree
+    from satellite_approximation_tpu.models.multigrid import _prolong, _restrict
+    from satellite_approximation_tpu.ops.pallas_kernels import (
+        fused_jacobi_tpu,
+        fused_jacobi_zero_tpu,
+    )
+
+    rng = np.random.default_rng(42)
+    try:
+        # 1) fused smoother vs the XLA reference loop (tolerance parity)
+        c, h, w = 2, 600, 700
+        u = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        inv = jnp.where(dg > 0, 1.0 / dg, 0.0)
+
+        def body(_, uu):
+            au = masked_laplacian(uu, um, dg)
+            return uu + 0.8 * (b - au) * inv * um.astype(uu.dtype)
+
+        want_u = lax.fori_loop(0, 6, body, u)
+        want_r = (b - masked_laplacian(want_u, um, dg)) * um.astype(u.dtype)
+        got_u, got_r = fused_jacobi_tpu(
+            u, b, um, dg, sweeps=6, omega=0.8, emit_residual=True
+        )
+        if float(jnp.max(jnp.abs(got_u - want_u))) > 5e-6:
+            return "FAIL: fused_jacobi u drift vs XLA"
+        if float(jnp.max(jnp.abs(got_r - want_r))) > 5e-5:
+            return "FAIL: fused_jacobi residual drift vs XLA"
+
+        # 2) zero-start kernel bitwise == general kernel at u=0
+        omegas = (0.9, 0.7, 0.8, 1.1, 0.6, 0.75)
+        wz_u, wz_r = fused_jacobi_tpu(
+            jnp.zeros_like(b), b, um, dg, sweeps=6, omega=omegas, emit_residual=True
+        )
+        gz_u, gz_r = fused_jacobi_zero_tpu(
+            b, um, dg, sweeps=6, omega=omegas, emit_residual=True
+        )
+        if not (bool(jnp.array_equal(gz_u, wz_u)) and bool(jnp.array_equal(gz_r, wz_r))):
+            return "FAIL: zero-start kernel not bitwise-equal to general"
+
+        # 3) transfer-lowering pins at the miscompile sizes (round-3 bug:
+        # wrong jit values at coarse sizes >= 512^2 — these sizes hit it)
+        r2 = jnp.asarray(rng.random((1, 1373, 1373), dtype=np.float32))
+        got = jax.jit(_restrict)(r2)
+        r2p = jnp.pad(r2, ((0, 0), (0, 1), (0, 1)))
+        rows = r2p[:, 0::2, :] + r2p[:, 1::2, :]
+        want = rows[:, :, 0::2] + rows[:, :, 1::2]
+        if not bool(jnp.array_equal(got, want)):
+            return "FAIL: _restrict lowering at 1373^2"
+        e = jnp.asarray(rng.random((1, 687, 687), dtype=np.float32))
+        fine = (1, 1373, 1374)
+        got_p = jax.jit(_prolong, static_argnums=1)(e, fine)
+        want_p = jnp.repeat(jnp.repeat(e, 2, axis=1), 2, axis=2)[:, :1373, :1374]
+        if not bool(jnp.array_equal(got_p, want_p)):
+            return "FAIL: _prolong lowering at 687^2"
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL: exception {type(e).__name__}: {e}"
+    return "ok"
+
+
 def main():
     umask = make_mask(H, W)
     deg = np.full((H, W), 4.0, dtype=np.float32)
@@ -139,6 +221,8 @@ def main():
     scipy_dt = bench_scipy(b, umask, deg)
     scipy_mpix_s = n_masked / scipy_dt / 1e6
 
+    parity = pallas_parity()
+
     print(
         json.dumps(
             {
@@ -153,6 +237,7 @@ def main():
                     "max_s": round(times[-1], 3),
                 },
                 "baseline_note": f"scipy CG timed on all {BANDS} bands (no extrapolation)",
+                "pallas_parity": parity,
             }
         )
     )

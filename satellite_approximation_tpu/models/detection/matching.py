@@ -503,6 +503,7 @@ def match_clouds_shadows(
     config: MatchingConfig = MatchingConfig(),
     timer=None,
     use_native: bool | None = None,
+    sweep_fn=None,
 ) -> MatchCloudsShadowsResults:
     """Match every cloud to its shadow (CloudShadowMatching.cpp:168-197).
 
@@ -515,11 +516,19 @@ def match_clouds_shadows(
     the device sweep for big scenes on a real TPU and the native scan
     otherwise (small scenes are dispatch-latency-bound on a tunneled
     host). ``use_native=False`` forces the device path.
+
+    ``sweep_fn``: optional replacement for the similarity-sweep kernel
+    (same call contract as :func:`_bucket_sweep`) — the hook
+    :mod:`parallel.detect` uses to run the sweep sharded over a device
+    mesh while sharing ALL of this function's orchestration (bucketing,
+    chunking, detail extraction, mask compositing). Forces the jax route.
     """
     if timer is None:
         from ...utils.profiling import StageTimer
 
         timer = StageTimer()
+    if sweep_fn is not None:
+        use_native = False
     if use_native is None:
         from ... import native
 
@@ -705,18 +714,34 @@ def match_clouds_shadows(
                     # separability metadata on the exact f32 values the
                     # device sees; routes this chunk to the gather-free
                     # kernel whenever the pinch check vouches for it
-                    ok, sx, sy, rx_span, ry_span = _sep_metadata(
-                        np.swapaxes(a2[sel], 0, 1)[h0:h1].astype(np.float32),
-                        np.swapaxes(delta[sel], 0, 1)[h0:h1].astype(np.float32),
-                        mnx[sel].T[h0:h1], mny[sel].T[h0:h1],
-                        wb, hb, wdt, hgt,
-                    )
-                    rx = _quantize_span(rx_span)
-                    ry = _quantize_span(ry_span)
+                    use_sep = False
+                    if sweep_fn is None:
+                        ok, sx, sy, rx_span, ry_span = _sep_metadata(
+                            np.swapaxes(a2[sel], 0, 1)[h0:h1].astype(np.float32),
+                            np.swapaxes(delta[sel], 0, 1)[h0:h1].astype(np.float32),
+                            mnx[sel].T[h0:h1], mny[sel].T[h0:h1],
+                            wb, hb, wdt, hgt,
+                        )
+                        rx = _quantize_span(rx_span)
+                        ry = _quantize_span(ry_span)
+                        use_sep = (
+                            bool(ok.all()) and rx is not None and ry is not None
+                        )
                     # async dispatch: chunks queue on the device back-to-back;
                     # ONE batched fetch below instead of a blocking D2H (a
                     # link RTT) per chunk
-                    if bool(ok.all()) and rx is not None and ry is not None:
+                    if sweep_fn is not None:
+                        for g0 in range(h0, h1, ch_gather):
+                            g1 = min(g0 + ch_gather, h1)
+                            parts.append(
+                                sweep_fn(
+                                    cmask_j, psm_j, cmap_j, ids,
+                                    **chunk_args(g0, g1),
+                                    wb=wb, hb=hb, width=wdt, height=hgt,
+                                    pf=pf, min_support=config.min_support_pixels,
+                                )
+                            )
+                    elif use_sep:
                         parts.append(
                             _bucket_sweep_sep(
                                 cmask_j, psm_j, cmap_j, ids, **chunk_args(h0, h1),

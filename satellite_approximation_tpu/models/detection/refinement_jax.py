@@ -207,29 +207,17 @@ def _beta_bucket(
     return ret_f
 
 
-def beta_map_jax(
+def _beta_prep(
     shadows: dict[int, ShadowObject],
     solutions: dict[int, OptimalSolution],
-    clp_blended: np.ndarray,
-    diagonal: float,
-    config: RefinementConfig = RefinementConfig(),
-    device_output: bool = False,
-) -> np.ndarray:
-    """Device beta map: same contract as :func:`refinement.beta_map`,
-    evaluated as one fused XLA program per window-size bucket.
-
-    ``device_output=True`` keeps the result on device (its only consumers
-    — histogram scatter-adds and final-mask sampling — are device programs;
-    a full-tile f32 beta raster is ~482 MB, a D2H + re-upload round-trip
-    the all-device pipeline route must never pay)."""
-    h, w = clp_blended.shape
-    sx, sy = geometry.sides((h, w), diagonal)
-    # flip on device: a device-resident CLP (the all-device pipeline route)
-    # must not round-trip the link for a row reversal
-    clp_j = jnp.flipud(jnp.asarray(clp_blended, jnp.float32))
-
-    # host prep: per accepted shadow, the influence window geometry and the
-    # (tiny) bbox-border stencil — pure indexing, no floating-point compute
+    h: int,
+    w: int,
+    config: RefinementConfig,
+):
+    """Host prep shared by the single-device and sharded beta maps: per
+    accepted shadow, the influence window geometry and the (tiny)
+    bbox-border stencil — pure indexing, no floating-point compute.
+    Returns (items, buckets, max_b)."""
     items = []
     for sid, shadow in shadows.items():
         if shadow.window is None or shadow.area == 0 or shadow.bounds is None:
@@ -271,36 +259,78 @@ def beta_map_jax(
         )
 
     max_b = _bucket_size(max((max(it["extent"]) for it in items), default=8))
-    ret = jnp.zeros((h + max_b, w + max_b), jnp.float32)
-
     buckets: dict[tuple[int, int], list[dict]] = {}
     for it in items:
         key = (_bucket_size(it["extent"][0]), _bucket_size(it["extent"][1]))
         buckets.setdefault(key, []).append(it)
+    return items, buckets, max_b
+
+
+def _bucket_band(members: list[dict]) -> int:
+    """EDT band for one bucket: the largest influence radius in the bucket,
+    rounded up to a power of two so distinct scenes share compiled programs.
+    Distances beyond the radius contribute factor 0, so banding is exact
+    (see _edt_sq) — with the default config this is 128 vs bucket widths up
+    to 4096."""
+    need = int(np.ceil(max(it["inf"] for it in members))) + 1
+    return max(_bucket_size(need), need)  # never under-band (exactness)
+
+
+def _bucket_operands(members: list[dict], hb: int, wb: int):
+    """Stacked per-shadow device operands for one bucket (shared by the
+    single-device scan and the sharded compositor)."""
+    pad = lambda a: np.pad(a, ((0, hb - a.shape[0]), (0, wb - a.shape[1])))
+    return dict(
+        in_shadow=jnp.asarray(np.stack([pad(it["in_shadow"]) for it in members])),
+        border=jnp.asarray(np.stack([pad(it["border"]) for it in members])),
+        anchor=jnp.asarray([it["anchor"] for it in members], jnp.int32),
+        extent=jnp.asarray([it["extent"] for it in members], jnp.int32),
+        inf_f=jnp.asarray([it["inf"] for it in members], jnp.float32),
+        lo=jnp.asarray([it["lo"] for it in members], jnp.float32),
+        minv=jnp.asarray(np.stack([it["minv"] for it in members]), jnp.float64),
+    )
+
+
+def beta_map_jax(
+    shadows: dict[int, ShadowObject],
+    solutions: dict[int, OptimalSolution],
+    clp_blended: np.ndarray,
+    diagonal: float,
+    config: RefinementConfig = RefinementConfig(),
+    device_output: bool = False,
+) -> np.ndarray:
+    """Device beta map: same contract as :func:`refinement.beta_map`,
+    evaluated as one fused XLA program per window-size bucket.
+
+    ``device_output=True`` keeps the result on device (its only consumers
+    — histogram scatter-adds and final-mask sampling — are device programs;
+    a full-tile f32 beta raster is ~482 MB, a D2H + re-upload round-trip
+    the all-device pipeline route must never pay)."""
+    h, w = clp_blended.shape
+    sx, sy = geometry.sides((h, w), diagonal)
+    # flip on device: a device-resident CLP (the all-device pipeline route)
+    # must not round-trip the link for a row reversal
+    clp_j = jnp.flipud(jnp.asarray(clp_blended, jnp.float32))
+
+    items, buckets, max_b = _beta_prep(shadows, solutions, h, w, config)
+    ret = jnp.zeros((h + max_b, w + max_b), jnp.float32)
 
     for (hb, wb), members in buckets.items():
-        pad = lambda a: np.pad(a, ((0, hb - a.shape[0]), (0, wb - a.shape[1])))
-        # EDT band: the largest influence radius in the bucket, rounded up
-        # to a power of two so distinct scenes share compiled programs.
-        # Distances beyond the radius contribute factor 0, so banding is
-        # exact (see _edt_sq) — with the default config this is 128 vs
-        # bucket widths up to 4096
-        need = int(np.ceil(max(it["inf"] for it in members))) + 1
-        band = max(_bucket_size(need), need)  # never under-band (exactness)
+        ops = _bucket_operands(members, hb, wb)
         ret = _beta_bucket(
             clp_j,
             ret,
-            jnp.asarray(np.stack([pad(it["in_shadow"]) for it in members])),
-            jnp.asarray(np.stack([pad(it["border"]) for it in members])),
-            jnp.asarray([it["anchor"] for it in members], jnp.int32),
-            jnp.asarray([it["extent"] for it in members], jnp.int32),
-            jnp.asarray([it["inf"] for it in members], jnp.float32),
-            jnp.asarray([it["lo"] for it in members], jnp.float32),
+            ops["in_shadow"],
+            ops["border"],
+            ops["anchor"],
+            ops["extent"],
+            ops["inf_f"],
+            ops["lo"],
             jnp.float32(config.beta_mid_percentile),
-            jnp.asarray(np.stack([it["minv"] for it in members]), jnp.float64),
+            ops["minv"],
             jnp.float64(sx),
             jnp.float64(sy),
-            hb=hb, wb=wb, height=h, width=w, band=band,
+            hb=hb, wb=wb, height=h, width=w, band=_bucket_band(members),
         )
     if device_output:
         return jnp.flipud(ret[:h, :w])

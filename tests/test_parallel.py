@@ -452,3 +452,21 @@ class TestShardingConvergenceParity:
         )
         assert np.all(results[4][2] <= 1e-6)
         np.testing.assert_allclose(results[1][0], results[4][0], atol=1e-8)
+
+
+class TestShardedDetectStages:
+    """The detection device stages beyond blur/pit-fill, sharded
+    (parallel/detect.py): every stage must be BIT-EQUAL to the
+    single-device jax route (reference pipeline: automatic_detection.cpp:80-236)."""
+
+    def test_mini_detect_sharded_masks_bit_equal(self):
+        from satellite_approximation_tpu.parallel.detect import mini_detect_sharded
+        from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+
+        mesh = spatial_band_mesh(8)
+        out = mini_detect_sharded(mesh, n=256)
+        # the harness itself asserts bit-equality per stage; sanity-check
+        # the scene produced real work
+        assert out["n_matched"] > 0
+        assert out["final"].any()
+        assert out["cloud"].any()
