@@ -451,6 +451,8 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
         # (benchmarks/x_lane_align.py measured the pads at ~40% of each
         # smoother call's wall time).
         from ..ops.pallas_kernels import (
+            corr_half_for_kernel,
+            fused_jacobi_corr_tpu_padded,
             fused_jacobi_tpu_padded,
             fused_jacobi_zero_tpu_padded,
             pad_for_kernel,
@@ -480,10 +482,13 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
             levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md,
             u_is_zero=True,
         )
-        corr = _prolong(e_c, u.shape) * um.astype(u.dtype)
-        up = up + pad_for_kernel(corr, h, w)  # pad fuses into the add
-        up = fused_jacobi_tpu_padded(
-            up, bp, invmp, h, w, sweeps=len(post), omega=post
+        # coarse-correction add fused into the post-smooth kernel: XLA
+        # pays only the lane repeat at HALF height; the sublane repeat +
+        # masked add happen in VMEM (was: a full-raster prolong + mask
+        # multiply + add pass, the largest non-smoother level-0 term)
+        corr_half = corr_half_for_kernel(e_c, h, w, dtype=up.dtype)
+        up = fused_jacobi_corr_tpu_padded(
+            up, bp, invmp, corr_half, h, w, sweeps=len(post), omega=post
         )
         return slice_from_kernel(up, h, w)
     u, r = _smooth_residual(u, b, um, deg, pre, u_is_zero=u_is_zero)

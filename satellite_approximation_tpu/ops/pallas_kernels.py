@@ -65,7 +65,10 @@ def kernel_tiles(h: int, w: int) -> tuple[int, int]:
                 best_cost, best_t = cost, t
         return best_t
 
-    return pick(h, 8, HALO_R, _STRIP_MAX), pick(w, 128, HALO_C, _CTILE_MAX)
+    # strip step is 16 (not the hardware-minimum 8) so the fuse_corr
+    # variant's HALF-height window slices stay 8-sublane-aligned in both
+    # start (r0/2 = k*strip/2) and size (strip/2 + HALO_R)
+    return pick(h, 16, HALO_R, _STRIP_MAX), pick(w, 128, HALO_C, _CTILE_MAX)
 
 
 def _kernel_factory(
@@ -80,6 +83,7 @@ def _kernel_factory(
     out_off_r: int = 0,
     out_off_c: int = 0,
     zero_start: bool = False,
+    fuse_corr: bool = False,
 ):
     """Round-4 kernel: merged mask+degree operand and double-buffered DMA.
 
@@ -94,6 +98,15 @@ def _kernel_factory(
       two tiles later, before their buffer is reused). The previous serial
       kernel waited every DMA inline — at full tile the window DMAs were
       ~35% of smoother wall time.
+    * ``fuse_corr`` (post-smooth): the V-cycle's coarse-correction add
+      ``u += prolong(e) * mask`` folds into the kernel. The operand is the
+      HALF-HEIGHT, lane-expanded correction (XLA does the cheap lane
+      repeat; see :func:`corr_half_for_kernel`); the kernel does the
+      sublane repeat in VMEM and the masked add before sweep 1 — removing
+      the full-raster prolong+mask+add XLA pass per V-cycle level (the
+      largest remaining non-smoother term at full tile, ~6.6 ms/level-0
+      apply). Requires r0 even (strip is a multiple of 8) so window rows
+      pair-align with the half-height operand.
     """
     winr = strip + 2 * HALO_R
     winc = ctile + 2 * HALO_C
@@ -110,10 +123,15 @@ def _kernel_factory(
     # array of HBM read traffic) and the first sweep collapses to
     # u = omega0 * b * invm on unknowns — bit-identical to running the full
     # sweep against zeros (A·0 = 0), one sweep's rolls cheaper on the VPU.
+    assert not (fuse_corr and zero_start), "corr add needs a u operand"
+
     def kernel(*refs):
+        corr_hbm = scorr = None
         if zero_start:
             b_hbm, im_hbm, *rest = refs
             u_hbm = None
+        elif fuse_corr:
+            u_hbm, b_hbm, im_hbm, corr_hbm, *rest = refs
         else:
             u_hbm, b_hbm, im_hbm, *rest = refs
         if emit_residual:
@@ -128,6 +146,12 @@ def _kernel_factory(
                 sb, sim, so, sr, sems = scratch
             else:
                 sb, sim, so, sems = scratch
+                sr = None
+        elif fuse_corr:
+            if emit_residual:
+                su, sb, sim, scorr, so, sr, sems = scratch
+            else:
+                su, sb, sim, scorr, so, sems = scratch
                 sr = None
         else:
             if emit_residual:
@@ -164,6 +188,21 @@ def _kernel_factory(
                         u_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
                         su.at[sel],
                         sems.at[sel, jnp.int32(2)],
+                    )
+                )
+            if fuse_corr:
+                # half-height slice at rh0 = row_tile * (strip/2): computed
+                # from the tile index directly (NOT r0 // 2 — Mosaic's
+                # divisibility analysis can prove i * (strip/2) is 8-aligned
+                # because strip/2 % 8 == 0, but not a division's result).
+                # Fine window row i pairs with half row i//2 exactly.
+                rem = t % jnp.int32(per_chan)
+                rh0 = (rem // jnp.int32(n_ctiles)) * jnp.int32(strip // 2)
+                cps.append(
+                    pltpu.make_async_copy(
+                        corr_hbm.at[ci, pl.ds(rh0, winr // 2), pl.ds(c0, winc)],
+                        scorr.at[sel],
+                        sems.at[sel, jnp.int32(5)],
                     )
                 )
             return cps
@@ -250,6 +289,13 @@ def _kernel_factory(
                 rest_om = omegas[1:]
             else:
                 u = su[sel].astype(jnp.float32)
+                if fuse_corr:
+                    # coarse-correction add: sublane-repeat the half-height
+                    # operand and add on unknowns. select (not multiply)
+                    # so uninitialized rim bytes in the corr pads cannot
+                    # poison the interior (same rationale as neighbor_sum)
+                    rep = jnp.repeat(scorr[sel].astype(jnp.float32), 2, axis=0)
+                    u = u + jnp.where(unknown, rep, 0.0)
                 rest_om = omegas
             for om in rest_om:
                 au = deg * u - neighbor_sum(u)
@@ -472,6 +518,84 @@ def fused_jacobi_tpu_padded(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(up, bp.astype(dtype), invmp.astype(dtype))
+
+
+def corr_half_for_kernel(e_c, h: int, w: int, dtype=None):
+    """The fuse_corr operand: coarse correction ``e_c`` (C, ceil(h/2),
+    ceil(w/2)) lane-expanded to full width and laid out so half-height row
+    ``HALO_R//2 + lc`` / col ``HALO_C + cl`` hold the value fine pixel
+    (2*lc(+1), cl) prolongs to. XLA pays only the lane repeat (the
+    relayout-heavy axis); the kernel does the sublane repeat in VMEM."""
+    strip, ctile = kernel_tiles(h, w)
+    hp = -(-h // strip) * strip
+    wp = -(-w // ctile) * ctile
+    half_h = (hp + 2 * HALO_R) // 2
+    e2 = jnp.repeat(e_c, 2, axis=-1)[..., :w]
+    if dtype is not None:
+        e2 = e2.astype(dtype)
+    h2 = e2.shape[-2]
+    return jnp.pad(
+        e2,
+        [(0, 0)] * (e2.ndim - 2)
+        + [(HALO_R // 2, half_h - HALO_R // 2 - h2), (HALO_C, wp + HALO_C - w)],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "sweeps", "omega"))
+def fused_jacobi_corr_tpu_padded(
+    up, bp, invmp, corr_half, h: int, w: int, sweeps: int = 8, omega=0.8
+):
+    """Post-smooth with the coarse-correction add fused in
+    (:func:`corr_half_for_kernel` builds ``corr_half``): bit-equal to
+    ``fused_jacobi_tpu_padded(up + pad(prolong(e)*mask), ...)`` up to the
+    sign of zero on KNOWN cells (the fused path selects, the XLA path adds
+    prolong(e)*0 — known-cell values never reach interior smoothing, which
+    reads neighbours through unknown-selects). Same padded-IO contract as
+    fused_jacobi_tpu_padded."""
+    assert sweeps <= HALO_R
+    if isinstance(omega, tuple):
+        assert len(omega) == sweeps
+    strip, ctile = kernel_tiles(h, w)
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    c, hpad, wpad = up.shape
+    hp = hpad - 2 * HALO_R
+    wp = wpad - 2 * HALO_C
+    assert hp == -(-h // strip) * strip and wp == -(-w // ctile) * ctile
+    assert corr_half.shape == (c, hpad // 2, wpad), (corr_half.shape, up.shape)
+    dtype = up.dtype
+    out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
+    scratch = [
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr, winc), dtype),
+        pltpu.VMEM((2, winr // 2, winc), dtype),
+        pltpu.VMEM((2, strip, ctile), dtype),
+        pltpu.SemaphoreType.DMA((2, 6)),
+    ]
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        _kernel_factory(
+            sweeps,
+            omega if isinstance(omega, tuple) else float(omega),
+            strip,
+            ctile,
+            hp // strip,
+            wp // ctile,
+            c,
+            emit_residual=False,
+            out_off_r=HALO_R,
+            out_off_c=HALO_C,
+            fuse_corr=True,
+        ),
+        out_shape=out_shape,
+        in_specs=[any_spec] * 4,
+        out_specs=any_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(up, bp.astype(dtype), invmp.astype(dtype), corr_half.astype(dtype))
 
 
 def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):

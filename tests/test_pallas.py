@@ -234,3 +234,57 @@ class TestTransferLowering:
             :, : fine[-2], : fine[-1]
         ]
         np.testing.assert_array_equal(got, want)
+
+
+class TestFusedCorr:
+    """fused_jacobi_corr_tpu_padded must equal the two-step path
+    (u += prolong(e)*mask, then post-smooth) bit-for-bit on every cell the
+    V-cycle consumes (interior; known-cell sign-of-zero is out of contract
+    — known values never reach interior smoothing)."""
+
+    @pytest.mark.parametrize("shape", [(1, 300, 500), (2, 1024, 1100), (1, 601, 733)])
+    def test_matches_two_step_bitwise(self, shape):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.multigrid import _prolong
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            corr_half_for_kernel,
+            fused_jacobi_corr_tpu_padded,
+            fused_jacobi_tpu_padded,
+            invm_for_kernel,
+            pad_for_kernel,
+            slice_from_kernel,
+        )
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(21)
+        c, h, w = shape
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        u = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        e_c = jnp.asarray(rng.standard_normal((c, h2, w2)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        omegas = (0.9, 0.7, 0.8, 1.1, 0.6, 0.75)
+
+        imp = pad_for_kernel(invm_for_kernel(um, dg), h, w)
+        bp = pad_for_kernel(b, h, w)
+        up = pad_for_kernel(u, h, w)
+
+        # two-step oracle: masked prolong-add in XLA, then the plain kernel
+        corr = _prolong(e_c, (c, h, w)) * um.astype(u.dtype)
+        up_ref = up + pad_for_kernel(corr, h, w)
+        want = slice_from_kernel(
+            fused_jacobi_tpu_padded(
+                up_ref, bp, imp, h, w, sweeps=6, omega=omegas
+            ),
+            h, w,
+        )
+
+        corr_half = corr_half_for_kernel(e_c, h, w)
+        got = slice_from_kernel(
+            fused_jacobi_corr_tpu_padded(
+                up, bp, imp, corr_half, h, w, sweeps=6, omega=omegas
+            ),
+            h, w,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
