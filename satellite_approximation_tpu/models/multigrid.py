@@ -687,7 +687,22 @@ def solve(
     device_output: bool = False,
 ) -> CGResult:
     """MG-preconditioned CG solve + f64 refinement. Same contract as
-    models.cg.solve_masked_poisson."""
+    models.cg.solve_masked_poisson.
+
+    Precision ceiling: the solution is carried as a DOUBLE-FLOAT f32 pair
+    (~2^-48 ≈ 3.6e-15 effective relative precision — see
+    fill._fused_refine_solve), not true f64. Tolerances below ~1e-14
+    relative cannot converge; the reported ``error`` stays faithful, and a
+    warning flags the unreachable request up front."""
+    if tolerance < 1e-13:
+        import warnings
+
+        warnings.warn(
+            f"tolerance={tolerance:g} is below the double-float solver's "
+            "~1e-14 relative precision floor; convergence will stall there "
+            "(the returned error field reports the achieved residual)",
+            stacklevel=2,
+        )
     b64_j = jnp.asarray(b, dtype=jnp.float64)
     squeeze = b64_j.ndim == 2
     if squeeze:

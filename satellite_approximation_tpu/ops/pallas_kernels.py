@@ -260,9 +260,16 @@ def _kernel_factory(
             b = sb[sel].astype(jnp.float32)
             unknown = invm > 0
             inv0 = invm
-            # exact degree reconstruction (1.0 where known/padded: the au
-            # value there is select-discarded, it just must stay finite)
-            deg = jnp.where(unknown, 1.0 / jnp.where(unknown, invm, 1.0), 1.0)
+            # degree reconstruction, ROUNDED to the nearest integer (1.0
+            # where known/padded: the au value there is select-discarded, it
+            # just must stay finite). In f32 the round is a no-op — 1/(1/d)
+            # is bit-exact for d in {1,2,3,4} — but bf16 operands store
+            # invm rounded (1/3 -> 0.333984), where the raw reciprocal
+            # would perturb deg=3 cells to ~2.994; rounding restores the
+            # exact stencil degree for every operand dtype.
+            deg = jnp.where(
+                unknown, jnp.round(1.0 / jnp.where(unknown, invm, 1.0)), 1.0
+            )
 
             # masking is SELECT-based, not multiply-based: where(m>0, u, 0)
             # equals u*m bit-for-bit at mask 1/0 values, but a select also

@@ -316,12 +316,19 @@ def _decompress(seg: bytes, comp: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {comp}")
 
 
-def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
-    """Horizontal differencing (tag 317 = 2): cumulative sum along rows with
-    the dtype's natural modulo wraparound (integer types only)."""
+def _undo_predictor2(arr: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Horizontal differencing (tag 317 = 2): cumulative sum along the WIDTH
+    axis with the dtype's natural modulo wraparound (integer types only).
+
+    Each sample channel is differenced independently along its row (TIFF 6.0
+    §14), so ``axis`` must point at the width dimension of ``arr``'s layout —
+    e.g. axis=1 for a (tile_h, tile_w, samples) block, axis=-2 for a chunky
+    (h, w, spp) strip. The earlier axis=-1 default silently no-opped planar
+    tiles (samples axis of size 1) and cross-mixed samples in chunky tiles.
+    """
     if arr.dtype.kind not in "ui":
         raise ValueError("predictor 2 applies to integer samples only")
-    return np.cumsum(arr, axis=-1, dtype=arr.dtype)
+    return np.cumsum(arr, axis=axis, dtype=arr.dtype)
 
 
 def _parse_header(buf: bytes):
@@ -440,8 +447,9 @@ def read_multiband_tiff(path: Path | str) -> tuple[np.ndarray, dict]:
                 blk = np.frombuffer(raw, dtype=dt, count=th * tw * samples)
                 blk = blk.reshape(th, tw * samples)
                 if predictor == 2:
+                    # cumsum along the tile-width axis, per sample
                     blk = _undo_predictor2(
-                        blk.reshape(th, tw, samples)
+                        blk.reshape(th, tw, samples), axis=1
                     ).reshape(th, tw * samples)
                 ty, tx = (t // across) * th, (t % across) * tw
                 ys = min(th, h - ty)
@@ -466,8 +474,7 @@ def read_multiband_tiff(path: Path | str) -> tuple[np.ndarray, dict]:
     else:
         arr = flat.reshape(h, w, spp)
         if predictor == 2:
-            arr = _undo_predictor2(arr.reshape(h, w * spp)).reshape(h, w, spp) if spp == 1 else _undo_predictor2(
-                arr
-            )
+            # chunky rows interleave samples: cumsum along the width axis
+            arr = _undo_predictor2(arr, axis=-2)
         arr = np.moveaxis(arr, -1, 0)
     return np.ascontiguousarray(arr.astype(dt.newbyteorder("="))), tags

@@ -288,3 +288,54 @@ class TestFusedCorr:
             h, w,
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestBf16Degree:
+    def test_bf16_operand_degree_exact(self):
+        """bf16 operands store invm rounded (1/3 -> bf16 0.333984), so a raw
+        in-kernel reciprocal would perturb deg=3 boundary cells to ~2.994;
+        the kernel rounds the reconstruction, restoring the exact stencil.
+        Oracle: the XLA sweep loop run in bf16 storage with exact integer
+        degrees (ADVICE r4: bf16 parity at degree-3 boundary cells)."""
+        import jax.numpy as jnp
+        from jax import lax
+        from satellite_approximation_tpu.ops.pallas_kernels import fused_jacobi_tpu
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(7)
+        c, h, w = 1, 520, 640
+        u = jnp.asarray(rng.random((c, h, w)), jnp.bfloat16)
+        b = jnp.asarray(rng.random((c, h, w)), jnp.bfloat16)
+        # a mask with plenty of degree-1/2/3 boundary cells
+        um_np = rng.random((h, w)) > 0.45
+        um = jnp.asarray(um_np)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+
+        # XLA oracle mirroring the kernel's exact precision contract:
+        # bf16 storage in/out, ALL sweeps in f32 (one storage cast at the
+        # end), Jacobi weight = the bf16-STORED reciprocal (inv0), operator
+        # degree = the ROUNDED reconstruction (exact integers)
+        from satellite_approximation_tpu.ops.pallas_kernels import invm_for_kernel
+
+        invm16 = invm_for_kernel(um, dg).astype(jnp.bfloat16)
+        inv0 = invm16.astype(jnp.float32)
+        unknown = inv0 > 0
+        dgf = jnp.where(unknown, jnp.round(1.0 / jnp.where(unknown, inv0, 1.0)), 1.0)
+        bf = b.astype(jnp.float32)
+
+        def body(_, uf):
+            usel = jnp.where(unknown, uf, 0.0)
+            p = jnp.pad(usel, ((0, 0), (1, 1), (1, 1)))
+            ns = (
+                p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
+            )
+            au = dgf * uf - ns
+            return jnp.where(unknown, uf + 0.8 * (bf - au) * inv0, uf)
+
+        want = lax.fori_loop(0, 4, body, u.astype(jnp.float32)).astype(jnp.bfloat16)
+        got = fused_jacobi_tpu(u, b, um, dg, sweeps=4, omega=0.8)
+        # identical degrees -> the only differences are bf16 rounding of the
+        # per-sweep outputs, which the oracle shares; require bit equality
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )

@@ -188,6 +188,158 @@ class TestGeoTIFF:
         write_geotiff(data, out)
         np.testing.assert_array_equal(GeoTIFF.open(out).read(), data[0])
 
+    @staticmethod
+    def _make_predictor2_tiff(
+        data: np.ndarray, planar: bool, tile=None, deflate: bool = False
+    ) -> bytes:
+        """Hand-assemble a minimal classic little-endian TIFF whose payload
+        is predictor-2 (horizontal differencing) encoded per TIFF 6.0 §14:
+        each SAMPLE differenced independently along its row. ``data`` is
+        (spp, h, w) integer. Independent of tiffmb's writer — this is the
+        decode oracle's counterpart, not a roundtrip of our own encoder."""
+        import struct as st
+
+        spp, h, w = data.shape
+        dt = data.dtype
+
+        def hdiff(a):  # (…, w) -> differenced along the last axis, modulo dtype
+            out = a.copy()
+            out[..., 1:] = a[..., 1:] - a[..., :-1]
+            return out
+
+        segs = []  # raw (uncompressed) strip/tile payloads, in offset order
+        if tile is not None:
+            th, tw = tile
+            down, across = -(-h // th), -(-w // tw)
+            # pad edges by repeating the last row/col (content arbitrary)
+            padded = np.pad(data, ((0, 0), (0, down * th - h), (0, across * tw - w)), mode="edge")
+            for p in range(spp) if planar else [None]:
+                for ty in range(down):
+                    for tx in range(across):
+                        blk = padded[:, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                        if planar:
+                            segs.append(hdiff(blk[p]).tobytes())
+                        else:
+                            # chunky: (th, tw, spp), diff along tw per sample
+                            chunky = np.moveaxis(blk, 0, -1)
+                            segs.append(hdiff(np.swapaxes(chunky, 1, 2)).swapaxes(1, 2).tobytes())
+        elif planar:
+            for p in range(spp):
+                segs.append(hdiff(data[p]).tobytes())
+        else:
+            chunky = np.moveaxis(data, 0, -1)  # (h, w, spp)
+            segs.append(hdiff(np.swapaxes(chunky, 1, 2)).swapaxes(1, 2).tobytes())
+
+        if deflate:
+            import zlib
+
+            segs = [zlib.compress(s) for s in segs]
+
+        bits = dt.itemsize * 8
+        entries = []  # (tag, type, count, value-or-values)
+        def tagv(tag, ftype, vals):
+            entries.append((tag, ftype, vals if isinstance(vals, (list, tuple)) else [vals]))
+
+        n_ifd_guess = 14
+        # layout: header(8) + IFD + out-of-line value area + payloads
+        ifd_size = 2 + n_ifd_guess * 12 + 4
+        val_area = 8 + ifd_size
+        # reserve out-of-line space generously: bits arrays + offsets/counts
+        extra = 4 * (2 * len(segs) + 2 * spp + 4)
+        data_off = val_area + extra
+        offs, cnts = [], []
+        o = data_off
+        for s in segs:
+            offs.append(o)
+            cnts.append(len(s))
+            o += len(s)
+
+        SHORT, LONG = 3, 4
+        tagv(256, LONG, w)
+        tagv(257, LONG, h)
+        tagv(258, SHORT, [bits] * spp)
+        tagv(259, SHORT, 8 if deflate else 1)
+        tagv(262, SHORT, 2 if spp == 3 else 1)  # RGB for 3 samples (PIL mode)
+        tagv(273, LONG, offs)
+        tagv(277, SHORT, spp)
+        tagv(278, LONG, h if tile is None else 0) if tile is None else None
+        tagv(279, LONG, cnts)
+        tagv(284, SHORT, 2 if planar else 1)
+        tagv(317, SHORT, 2)  # predictor: horizontal differencing
+        tagv(339, SHORT, [1] * spp)  # unsigned int samples
+        if tile is not None:
+            tagv(322, LONG, tile[1])
+            tagv(323, LONG, tile[0])
+            # tiled files use 324/325 instead of 273/279
+            entries[:] = [e for e in entries if e[0] not in (273, 279)]
+            tagv(324, LONG, offs)
+            tagv(325, LONG, cnts)
+        entries.sort(key=lambda e: e[0])
+
+        out = bytearray(st.pack("<2sHI", b"II", 42, 8))
+        ifd = bytearray(st.pack("<H", len(entries)))
+        oov = bytearray()  # out-of-line values
+        oov_base = 8 + 2 + len(entries) * 12 + 4
+        fmt = {SHORT: "H", LONG: "I"}
+        size = {SHORT: 2, LONG: 4}
+        for tag, ftype, vals in entries:
+            nbytes = size[ftype] * len(vals)
+            packed = st.pack(f"<{len(vals)}{fmt[ftype]}", *vals)
+            if nbytes <= 4:
+                ifd += st.pack("<HHI", tag, ftype, len(vals)) + packed.ljust(4, b"\0")
+            else:
+                ifd += st.pack("<HHII", tag, ftype, len(vals), oov_base + len(oov))
+                oov += packed
+        ifd += st.pack("<I", 0)  # next-IFD pointer
+        out += ifd + oov
+        out = out.ljust(data_off, b"\0")
+        for s in segs:
+            out += s
+        return bytes(out)
+
+    def test_predictor2_decode_all_layouts(self, tmp_path):
+        """Predictor-2 (horizontal differencing) must cumsum along the WIDTH
+        axis per sample in every layout. The tiled-planar and chunky-spp>1
+        cases regressed silently before round 5 (cumsum ran along the
+        samples axis — a no-op for planar tiles, sample-mixing for chunky).
+        Fixtures are hand-encoded per TIFF 6.0 §14, independent of our
+        writer; the chunky-strip case is additionally cross-checked against
+        PIL's decoder."""
+        from satellite_approximation_tpu.utils.tiffmb import read_multiband_tiff
+
+        rng = np.random.default_rng(21)
+        for dtype in (np.uint8, np.uint16):
+            data3 = (rng.random((3, 21, 37)) * np.iinfo(dtype).max).astype(dtype)
+            data1 = data3[:1]
+            cases = [
+                ("strip_chunky", data3, False, None),
+                ("strip_planar", data3, True, None),
+                ("strip_chunky_1s", data1, False, None),
+                ("tiled_chunky", data3, False, (16, 16)),
+                ("tiled_planar", data3, True, (16, 16)),
+                ("tiled_planar_1s", data1, True, (16, 16)),
+            ]
+            for name, data, planar, tile in cases:
+                raw = self._make_predictor2_tiff(data, planar, tile)
+                p = tmp_path / f"p2_{name}_{np.dtype(dtype).name}.tif"
+                p.write_bytes(raw)
+                got, tags = read_multiband_tiff(p)
+                assert tags[317] == 2
+                np.testing.assert_array_equal(got, data, err_msg=name)
+
+        # independent decoder cross-check: PIL applies predictor 2 on
+        # deflate-compressed chunky strips (it ignores the tag on raw
+        # strips, so the cross-check file is compressed)
+        from PIL import Image
+
+        data = (rng.random((3, 21, 37)) * 255).astype(np.uint8)
+        p = tmp_path / "p2_pil_check.tif"
+        p.write_bytes(self._make_predictor2_tiff(data, planar=False, deflate=True))
+        pil = np.array(Image.open(p))
+        np.testing.assert_array_equal(np.moveaxis(pil, -1, 0), data)
+        got, _ = read_multiband_tiff(p)
+        np.testing.assert_array_equal(got, data)
+
 
 class TestImageio:
     def test_gamma_roundtrip(self, tmp_path):
