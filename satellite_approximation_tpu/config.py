@@ -139,6 +139,14 @@ class SolverConfig:
     # and it skips the host-assembled f64 transfers entirely); "never"
     # keeps the host-assembly path.
     device_assembly: str = "auto"
+    # Multi-device routing (parallel/fill.sharded_fill): "auto" shards
+    # multigrid-scale solves over every visible device when more than one
+    # exists (rows over 'x' with ppermute halo exchange, bands over 'b');
+    # None/"off" pins the single-device route; an explicit
+    # jax.sharding.Mesh is used as-is. Small solves (below
+    # mg_threshold_pixels) always stay single-device — sharding overhead
+    # beats the win there.
+    mesh: object = "auto"
 
 
 DEFAULT_DETECTION = DetectionConfig()

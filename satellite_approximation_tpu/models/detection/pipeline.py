@@ -176,6 +176,26 @@ def _write_mask(mask: np.ndarray, out_path: Path, template: Path) -> None:
     write_geotiff(fetch_mask(mask).astype(np.uint8), out_path, template_path=template)
 
 
+def _resolve_detect_mesh(mesh):
+    """detect()'s mesh policy: "auto" -> one flat mesh over every visible
+    device when more than one exists (None on single-device hosts); None ->
+    single-device; an explicit jax.sharding.Mesh is used as-is."""
+    if mesh is None:
+        return None
+    from jax.sharding import Mesh
+
+    if isinstance(mesh, Mesh):
+        return mesh
+    if mesh == "auto":
+        import jax
+
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        return jax.make_mesh((n,), ("d",))
+    raise ValueError(f"unknown mesh setting {mesh!r}")
+
+
 def detect(
     params: CloudParams,
     diagonal_distance: float,
@@ -184,6 +204,7 @@ def detect(
     config: DetectionConfig = DEFAULT_DETECTION,
     timer: "StageTimer | None" = None,
     inputs: dict[str, np.ndarray] | None = None,
+    mesh="auto",
 ) -> Status | None:
     """Run the full cloud + shadow detection for one date folder
     (automatic_detection.cpp:80-236). Returns None when cached outputs exist.
@@ -196,6 +217,15 @@ def detect(
     `detect_in_folder` uses this to overlap TIFF decode of the next dates
     with the current date's compute (the reference decodes every raster on
     the critical path, automatic_detection.cpp:286-324).
+
+    ``mesh``: multi-device routing for the device-stage route. "auto"
+    (default) shards over every visible device when more than one exists —
+    the matching height sweep, alpha/beta maps, probability histograms, and
+    final-mask sampling run via :mod:`parallel.detect` (bit-equal to the
+    single-device stages by construction); pass None to pin single-device
+    or an explicit ``jax.sharding.Mesh`` to control the layout. Only the
+    device-stage route shards (host-native stages have their own
+    parallelism); single-device hosts are unaffected.
     """
     if use_cache and params.cloud_path().exists() and params.shadow_path().exists():
         _logger.debug(
@@ -242,6 +272,10 @@ def detect(
             and big_scene
             and jax.default_backend() == "tpu"
         )
+        # multi-device mesh for the device-stage route (SURVEY §2.5 P6 on
+        # the detection pipeline; reference is one OpenCL device,
+        # ComputeEnvironment.cpp:9-14). None on single-device hosts.
+        det_mesh = _resolve_detect_mesh(mesh) if device_stages else None
         host_shadow = big_scene and not device_stages and native.available()
         if host_shadow:
             # host f32 division of u16 values equals the device
@@ -406,6 +440,14 @@ def detect(
 
         _logger.debug(" --- Object-based Shadow Mask Generation...")
         with timer.stage("cloud-shadow matching"):
+            # with a mesh, the similarity sweep shards its height axis over
+            # every device (bit-equal per (height, cloud) cell; forces the
+            # device sweep) — all other matching orchestration is shared
+            sweep_fn = None
+            if det_mesh is not None:
+                from ...parallel import detect as parallel_detect
+
+                sweep_fn = parallel_detect.sharded_sweep(det_mesh)
             match = matching.match_clouds_shadows(
                 clouds,
                 cloud_map,
@@ -416,6 +458,7 @@ def detect(
                 view_pos,
                 config.matching,
                 timer=timer,
+                sweep_fn=sweep_fn,
             )
 
         # object-based shadow mask is final after matching — write it while
@@ -440,8 +483,21 @@ def detect(
         )
         if dev_refine:
             from . import refinement_jax
+        if det_mesh is not None:
+            from ...parallel import detect as parallel_detect
+        alpha_rows = None
         with timer.stage("alpha map"):
-            if dev_refine:
+            if det_mesh is not None:
+                # row-sharded over the mesh (parallel/detect): per-device
+                # raster residency shrinks 1/n_devices for this stage. The
+                # raster stays row-PADDED (+ alpha_rows) so the downstream
+                # sharded stages chain without any replicate/slice.
+                alpha, alpha_rows = parallel_detect.sharded_alpha_map(
+                    psm.difference_of_pitfill_nir, det_mesh,
+                    config.refinement.alpha_a, config.refinement.alpha_b,
+                    padded_output=True,
+                )
+            elif dev_refine:
                 # stays a device array: its only consumers are device programs
                 alpha = refinement_jax.alpha_map_jax(
                     psm.difference_of_pitfill_nir,
@@ -451,7 +507,18 @@ def detect(
             else:
                 alpha = refinement.alpha_map(psm.difference_of_pitfill_nir, config.refinement)
         with timer.stage("beta map"):
-            if use_jax_refinement:
+            if det_mesh is not None:
+                # shadow-axis sharded, exact pmax merge (parallel/detect)
+                beta = parallel_detect.sharded_beta_map(
+                    match.shadows,
+                    match.solutions,
+                    generated.blended_cloud_probability,
+                    diagonal_distance,
+                    det_mesh,
+                    config.refinement,
+                    device_output=True,
+                )
+            elif use_jax_refinement:
                 # device_output: beta's only consumers (histogram scatter-adds,
                 # final-mask sampling) are device programs — never round-trip
                 # the ~482 MB full-tile f32 raster over the link
@@ -476,7 +543,13 @@ def detect(
 
                     beta = jnp.asarray(beta)  # upload once; surface + sampling reuse
         with timer.stage("probability surface"):
-            if dev_refine:
+            if det_mesh is not None:
+                # row-sharded scatter-adds + exact int32 psum merges
+                surface = parallel_detect.sharded_probability_map(
+                    match.shadow_mask, alpha, beta, det_mesh, config.refinement,
+                    rows=alpha_rows,
+                )
+            elif dev_refine:
                 surface = refinement_jax.probability_map_jax(
                     match.shadow_mask, alpha, beta, config.refinement
                 )
@@ -487,7 +560,19 @@ def detect(
 
         _logger.debug(" --- Final Shadow Mask Generation...")
         with timer.stage("final mask"):
-            if dev_refine:
+            if det_mesh is not None:
+                final = parallel_detect.sharded_improved_shadow_mask(
+                    match.shadow_mask,
+                    generated.cloud_mask,
+                    alpha,
+                    beta,
+                    surface,
+                    config.probability_threshold,
+                    det_mesh,
+                    device_output=all_device,
+                    rows=alpha_rows,
+                )
+            elif dev_refine:
                 # device_output: the percent reductions, the OR with the device
                 # cloud mask, and the packed TIFF write all consume it in HBM
                 final = refinement_jax.improved_shadow_mask_jax(

@@ -338,7 +338,7 @@ def beta_map_jax(
 
 
 @functools.partial(jax.jit, static_argnames=("divisions",))
-def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
+def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...], valid=None):
     """Per-resolution (counts, sums) histograms of the shadow indicator over
     (alpha, beta) cells (ProbabilityRefinement.cpp:137-151) as device
     scatter-adds. Both counts AND indicator sums accumulate as int32 so they
@@ -346,10 +346,23 @@ def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
     put >2^24 shadow pixels in one coarse cell, where an f32 accumulator
     would silently saturate); element_from_histogram converts to f32 only at
     the final division, matching the host's f64-bincount-then-f32 path
-    bit-for-bit."""
+    bit-for-bit.
+
+    ``valid`` (optional bool, broadcastable to alpha's shape): pixels whose
+    count/sum contribution is masked out entirely — the row-padding hook
+    for the sharded route (parallel/detect.sharded_histograms), where pad
+    rows must not pollute any cell. None = every pixel counts (the
+    single-device path, bit-identical to before)."""
     a = jnp.asarray(alpha, jnp.float32).ravel()
     b = jnp.asarray(beta, jnp.float32).ravel()
     s = jnp.asarray(shadow_f32, jnp.float32).ravel().astype(jnp.int32)
+    if valid is not None:
+        v = jnp.broadcast_to(
+            jnp.asarray(valid, bool), jnp.asarray(alpha).shape
+        ).ravel().astype(jnp.int32)
+        s = s * v
+    else:
+        v = None
 
     def agg(h, k):  # exact (d*k, d*k) -> (d, d) block sum, stays i32
         d = h.shape[0] // k
@@ -372,7 +385,9 @@ def _histograms_jax(alpha, beta, shadow_f32, divisions: tuple[int, ...]):
             i = jnp.clip(jnp.floor(a * d).astype(jnp.int32), 0, d - 1)
             j = jnp.clip(jnp.floor(b * d).astype(jnp.int32), 0, d - 1)
             cell = i + d * j
-            counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(1)
+            counts = jnp.zeros((d * d,), jnp.int32).at[cell].add(
+                1 if v is None else v
+            )
             sums = jnp.zeros((d * d,), jnp.int32).at[cell].add(s)
             computed[d] = (counts.reshape(d, d), sums.reshape(d, d))
     return tuple(computed[d] for d in divisions)

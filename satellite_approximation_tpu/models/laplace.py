@@ -79,6 +79,27 @@ def solve_matrix(
     n = int(umask.sum())
     use_mg = config.use_multigrid and n >= config.mg_threshold_pixels
 
+    # Multi-device route: multigrid-scale solves shard over every visible
+    # device (SolverConfig.mesh; parallel/fill.sharded_fill — rows over 'x'
+    # with ppermute halo exchange, bands over 'b'). The reference surface
+    # this scales is src/main.cpp:49-54 / laplace.cpp:122-132, which is
+    # strictly single-device.
+    if use_mg:
+        from ..parallel.mesh import resolve_fill_mesh
+
+        mesh = resolve_fill_mesh(config.mesh, bands=images.shape[0])
+        if mesh is not None:
+            from ..parallel.fill import sharded_fill
+
+            filled_dev, iters, rel = sharded_fill(
+                images, umask, mesh, tolerance=1e-9,
+            )
+            # host contract for the public API; result.x keeps the sharded
+            # device array so callers/tests can chain device stages
+            filled = np.asarray(filled_dev, np.float64)
+            out = filled[0] if squeeze else filled
+            return out, CGResult(filled_dev, iters, rel)
+
     # Device-first fast path: when the f64 input is exactly representable
     # in f32 (every u8/u16-derived raster), upload the f32 image and
     # assemble b/x0 in f64 ON DEVICE, then fetch only the n solved values

@@ -89,6 +89,36 @@ def _solve(
     use_mg = config.use_multigrid and n_unknowns >= config.mg_threshold_pixels
 
     start = time.perf_counter()
+    # Multi-device route (SolverConfig.mesh, see laplace.solve_matrix): the
+    # Poisson-editing system shards over every visible device, guidance RHS
+    # + warm start assembled by parallel/fill.sharded_fill. Reference
+    # surface scaled here: src/main.cpp:55-58 (single-device Eigen CG).
+    if use_mg:
+        from ..parallel.mesh import resolve_fill_mesh
+
+        mesh = resolve_fill_mesh(
+            config.mesh, bands=np.asarray(inputs).shape[0]
+        )
+        if mesh is not None:
+            from ..parallel.fill import sharded_fill
+
+            filled_dev, iters, rel = sharded_fill(
+                inputs, umask, mesh, replacement=replacement,
+                tolerance=tolerance,
+            )
+            out = np.asarray(filled_dev, np.float64)
+            solve_ms = (time.perf_counter() - start) * 1e3
+            if perf_path is not None:
+                PerfInfo(
+                    region_size=n_unknowns, tolerance=tolerance,
+                    max_iterations=max_iters, iterations=iters, error=rel,
+                    solve_time=solve_ms,
+                ).write(perf_path)
+            _logger.debug(
+                "Sharded solution after %d iterations with %.4e error", iters, rel
+            )
+            return out
+
     # Device-first fast path (see laplace.solve_matrix): when both stacks
     # are exactly f32-representable, upload f32 images, assemble the
     # guidance-divergence RHS in f64 ON DEVICE inside one fused refinement

@@ -117,17 +117,79 @@ def sharded_sweep(mesh: Mesh):
     return sweep
 
 
+def _row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(_flat_axes(mesh), None))
+
+
+@functools.lru_cache(maxsize=64)
+def _row_padder(mesh: Mesh, pad: int):
+    """Jitted row pad with an explicit output sharding: eager pads/slices
+    of unevenly-sharded operands are ambiguous to the partitioner."""
+    return jax.jit(
+        lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)),
+        out_shardings=_row_sharding(mesh),
+    )
+
+
+def _pad_rows(x, n: int, mesh: Mesh):
+    """(row-sharded padded array, original row count): the leading axis
+    pads up to a multiple of ``n`` with zeros — real tiles (10980 rows) and
+    the test scene (1284) don't divide evenly over arbitrary shard counts,
+    and this JAX's explicit shardings cannot represent uneven row splits,
+    so every row-sharded stage pads internally. Pad rows never influence
+    valid outputs: elementwise stage results are cut back to the logical
+    rows, and the histogram stage masks pads out of its scatter-adds via
+    the ``valid`` weight. Host arrays pad on the host before upload;
+    device arrays (replicated or already evenly sharded) pad in a jitted
+    program (see _row_padder)."""
+    h = int(x.shape[0])
+    pad = -h % n
+    sh = _row_sharding(mesh)
+    if isinstance(x, np.ndarray):
+        if pad:
+            x = np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return jax.device_put(jnp.asarray(x), sh), h
+    x = jnp.asarray(x)
+    if pad == 0:
+        return jax.device_put(x, sh), h
+    return _row_padder(mesh, pad)(x), h
+
+
+def _exact_rows(y, h: int, mesh: Mesh):
+    """Cut a row-padded stage output back to its logical ``h`` rows.
+
+    An uneven row sharding is unrepresentable (explicit-sharding JAX), so
+    the array replicates first (one all-gather) and slices on the
+    replicated layout. Stages that chain into other sharded stages should
+    pass padded arrays + ``rows`` instead and never pay this; the pipeline
+    only takes this path for the FINAL bool mask (bit-sized, and exact on
+    a single real device)."""
+    if y.shape[0] == h:
+        return y
+    y = jax.device_put(y, NamedSharding(mesh, P()))
+    return y[:h]
+
+
 def sharded_alpha_map(
-    nir_difference, mesh: Mesh, alpha_a: float = 17.0, alpha_b: float = 0.007
+    nir_difference,
+    mesh: Mesh,
+    alpha_a: float = 17.0,
+    alpha_b: float = 0.007,
+    padded_output: bool = False,
 ):
-    """Row-sharded alpha map (refinement_jax.alpha_map_jax per shard).
-    Rows must split evenly over the shard count."""
+    """Row-sharded alpha map (refinement_jax.alpha_map_jax per shard);
+    rows pad internally to the shard count.
+
+    ``padded_output``: return ``(padded_alpha, rows)`` with the row-padded,
+    evenly-sharded raster — the form the downstream sharded stages consume
+    directly (pass ``rows`` through to them). Default returns the exact
+    (h, w) raster (replicating if the rows padded — see _exact_rows)."""
     axes = _flat_axes(mesh)
-    x = jnp.asarray(nir_difference, jnp.float32)
     n = _n_shards(mesh)
-    if x.shape[0] % n:
-        raise ValueError(f"rows ({x.shape[0]}) must split over {n} shards")
-    x = jax.device_put(x, NamedSharding(mesh, P(axes, None)))
+    if isinstance(nir_difference, np.ndarray):
+        x, h = _pad_rows(nir_difference.astype(np.float32, copy=False), n, mesh)
+    else:
+        x, h = _pad_rows(jnp.asarray(nir_difference, jnp.float32), n, mesh)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P(axes, None),
@@ -136,7 +198,10 @@ def sharded_alpha_map(
     def run(xl):
         return refinement_jax.alpha_map_jax(xl, alpha_a, alpha_b)
 
-    return jax.jit(run)(x)
+    out = jax.jit(run)(x)
+    if padded_output:
+        return out, h
+    return _exact_rows(out, h, mesh)
 
 
 def sharded_beta_map(
@@ -153,7 +218,6 @@ def sharded_beta_map(
     the mesh (padded with zero-extent dummies whose contribution is
     identically 0); shards composite locally with the single-device
     ``_beta_bucket`` and merge with one exact ``lax.pmax``."""
-    axes = _flat_axes(mesh)
     n = _n_shards(mesh)
     h, w = clp_blended.shape
     sx, sy = geometry.sides((h, w), diagonal)
@@ -176,29 +240,14 @@ def sharded_beta_map(
         )
         ops = _bucket_operands(members + [dummy] * n_pad, hb, wb)
 
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(
-                P(),  # clp (replicated)
-                P(axes), P(axes), P(axes), P(axes), P(axes), P(axes), P(axes),
-            ),
-            out_specs=P(),
-            check_vma=False,
+        # executable cache (module-level LRU): the previous per-call closure
+        # re-traced + re-jitted every bucket shape on every call — repeated
+        # detects on same-class scenes now reuse the compiled composites
+        composite = _beta_composite_jit(
+            mesh, hb, wb, h, w, band, max_b,
+            float(sx), float(sy), float(config.beta_mid_percentile),
         )
-        def composite(clp_l, in_sh, bord, anc, ext, inf_f, lo, minv):
-            local = _beta_bucket(
-                clp_l,
-                jnp.zeros((h + max_b, w + max_b), jnp.float32),
-                in_sh, bord, anc, ext, inf_f, lo,
-                jnp.float32(config.beta_mid_percentile),
-                minv,
-                jnp.float64(sx), jnp.float64(sy),
-                hb=hb, wb=wb, height=h, width=w, band=band,
-            )
-            return lax.pmax(local, axes)
-
-        part = jax.jit(composite)(
+        part = composite(
             clp_j,
             ops["in_shadow"], ops["border"], ops["anchor"], ops["extent"],
             ops["inf_f"], ops["lo"], ops["minv"],
@@ -209,45 +258,101 @@ def sharded_beta_map(
     return np.flipud(np.asarray(ret[:h, :w])).copy()
 
 
-def sharded_histograms(alpha, beta, shadow_f32, divisions, mesh: Mesh):
-    """Row-sharded (counts, sums) histograms: each shard scatter-adds its
-    row slab with the single-device ``_histograms_jax``, then int32
-    ``psum`` merges — exact for any population (integer addition)."""
+@functools.lru_cache(maxsize=32)
+def _beta_composite_jit(
+    mesh: Mesh, hb: int, wb: int, h: int, w: int, band: int, max_b: int,
+    sx: float, sy: float, mid: float,
+):
+    """Compiled shadow-sharded beta composite for one bucket geometry.
+
+    The CLP raster stays REPLICATED by design: each shadow's contribution
+    gathers a window of CLP through its inverse cast transform — windows
+    straddle any row partition, so sharding CLP would need data-dependent
+    halo exchange. The sharded axis is the SHADOW list (embarrassingly
+    parallel), merged with one exact ``pmax``."""
     axes = _flat_axes(mesh)
-    n = _n_shards(mesh)
-    a = jnp.asarray(alpha, jnp.float32)
-    if a.shape[0] % n:
-        raise ValueError(f"rows ({a.shape[0]}) must split over {n} shards")
-    spec = P(axes, None)
-    put = lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=P(),
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # clp (replicated: windowed gathers, see docstring)
+            P(axes), P(axes), P(axes), P(axes), P(axes), P(axes), P(axes),
+        ),
+        out_specs=P(),
         check_vma=False,
     )
-    def run(al, bl, sl):
-        hists = _histograms_jax(al, bl, sl, tuple(divisions))
+    def composite(clp_l, in_sh, bord, anc, ext, inf_f, lo, minv):
+        local = _beta_bucket(
+            clp_l,
+            jnp.zeros((h + max_b, w + max_b), jnp.float32),
+            in_sh, bord, anc, ext, inf_f, lo,
+            jnp.float32(mid),
+            minv,
+            jnp.float64(sx), jnp.float64(sy),
+            hb=hb, wb=wb, height=h, width=w, band=band,
+        )
+        return lax.pmax(local, axes)
+
+    return jax.jit(composite)
+
+
+def sharded_histograms(alpha, beta, shadow_f32, divisions, mesh: Mesh,
+                       rows: int | None = None):
+    """Row-sharded (counts, sums) histograms: each shard scatter-adds its
+    row slab with the single-device ``_histograms_jax``, then int32
+    ``psum`` merges — exact for any population (integer addition). Rows
+    pad internally; pad rows carry valid=0 so they touch no cell.
+
+    ``rows``: the logical row count when inputs arrive ALREADY padded
+    (e.g. alpha from ``sharded_alpha_map(padded_output=True)``); shorter
+    inputs still pad up individually."""
+    axes = _flat_axes(mesh)
+    n = _n_shards(mesh)
+    h = int(alpha.shape[0]) if rows is None else rows
+    spec = P(axes, None)
+
+    def put(x):
+        if not isinstance(x, np.ndarray):
+            x = jnp.asarray(x, jnp.float32)
+        xp, _ = _pad_rows(x, n, mesh)
+        return xp
+
+    hp = h + (-h % n)
+    valid = np.zeros((hp, 1), bool)
+    valid[:h] = True
+    valid = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, spec))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=P(), check_vma=False,
+    )
+    def run(al, bl, sl, vl):
+        hists = _histograms_jax(al, bl, sl, tuple(divisions), valid=vl)
         return jax.tree.map(lambda x: lax.psum(x, axes), hists)
 
-    return jax.jit(run)(put(a), put(beta), put(shadow_f32))
+    return jax.jit(run)(put(alpha), put(beta), put(shadow_f32), valid)
 
 
 def sharded_probability_map(
     shadow_mask, alpha, beta, mesh: Mesh,
     config: RefinementConfig = RefinementConfig(),
+    rows: int | None = None,
 ):
     """Sharded-histogram variant of refinement_jax.probability_map_jax:
     raster accumulation sharded over the mesh, the tiny hole-fill +
-    composite on the host (inherently serial, ProbabilityRefinement.cpp:162-183)."""
+    composite on the host (inherently serial, ProbabilityRefinement.cpp:162-183).
+    ``rows``: logical row count when ``alpha`` arrives row-padded."""
     from ..models.detection import refinement
     from ..ops.masks import push_mask
 
     hists = sharded_histograms(
-        jnp.asarray(alpha).astype(jnp.float32),
+        alpha if isinstance(alpha, np.ndarray) else jnp.asarray(alpha, jnp.float32),
         jnp.asarray(beta).astype(jnp.float32),
         push_mask(shadow_mask).astype(jnp.float32),
         tuple(config.histogram_divisions),
         mesh,
+        rows=rows,
     )
     elements = [
         refinement.element_from_histogram(np.asarray(c), np.asarray(s))
@@ -258,20 +363,28 @@ def sharded_probability_map(
 
 def sharded_improved_shadow_mask(
     object_shadow_mask, cloud_mask, alpha, beta, surface, threshold: float,
-    mesh: Mesh, device_output: bool = False,
+    mesh: Mesh, device_output: bool = False, rows: int | None = None,
 ):
     """Row-sharded final-mask sampling (refinement_jax._sample_final_jax
-    per shard, surface table replicated)."""
+    per shard; the 258x258 surface table is the only replicated operand).
+    Rows pad internally with zeros; sampling is elementwise, so pads never
+    influence valid rows, and the bool result cuts back to the logical
+    rows (replicate+slice — bit-sized, see _exact_rows). ``rows``: logical
+    row count when ``alpha`` arrives row-padded."""
     from ..ops.masks import fetch_mask, push_mask
 
     axes = _flat_axes(mesh)
     n = _n_shards(mesh)
     ext = jnp.asarray(surface._extended())
-    a = jnp.asarray(alpha).astype(jnp.float32)
-    if a.shape[0] % n:
-        raise ValueError(f"rows ({a.shape[0]}) must split over {n} shards")
+    a = alpha if isinstance(alpha, np.ndarray) else jnp.asarray(alpha, jnp.float32)
+    h = int(a.shape[0]) if rows is None else rows
     spec = P(axes, None)
-    put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put(x):
+        if not isinstance(x, np.ndarray):
+            x = jnp.asarray(x)
+        xp, _ = _pad_rows(x, n, mesh)
+        return xp
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -281,9 +394,13 @@ def sharded_improved_shadow_mask(
     def run(ext_l, al, bl, ob, cl):
         return _sample_final_jax(ext_l, al, bl, ob, cl, jnp.float32(threshold))
 
-    out = jax.jit(run)(
-        ext, put(a), put(jnp.asarray(beta).astype(jnp.float32)),
-        put(push_mask(object_shadow_mask)), put(push_mask(cloud_mask)),
+    out = _exact_rows(
+        jax.jit(run)(
+            ext, put(a), put(jnp.asarray(beta).astype(jnp.float32)),
+            put(push_mask(object_shadow_mask)), put(push_mask(cloud_mask)),
+        ),
+        h,
+        mesh,
     )
     return out if device_output else fetch_mask(out)
 

@@ -76,6 +76,38 @@ def split_rows_cols(n_devices: int) -> tuple[int, int]:
     return n_devices // x, x
 
 
+def auto_fill_mesh(bands: int = 1) -> Mesh | None:
+    """The fill API's automatic mesh: a ('b', 'x') mesh over ALL default-
+    backend devices when more than one is visible, else None (single-device
+    route). The band axis never exceeds the actual band count — a 1-band
+    image on 8 chips gets (1, 8), all devices on rows.
+
+    This is what lets ``blend_images_poisson`` / ``filling_missing_portions_
+    smooth_boundaries`` scale out with zero caller changes (reference
+    surface: src/main.cpp:46-58 — strictly single-device there)."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    b, x = split_band_spatial(n)
+    while b > max(bands, 1):
+        # fold surplus band shards into the spatial axis
+        b, x = b // 2, x * 2
+    return jax.make_mesh((b, x), ("b", "x"))
+
+
+def resolve_fill_mesh(setting, bands: int = 1) -> Mesh | None:
+    """SolverConfig.mesh policy -> a Mesh or None. ``setting`` is "auto"
+    (mesh over all devices when >1), None/"off" (never shard), or an
+    explicit jax.sharding.Mesh (used as-is)."""
+    if setting is None or setting == "off":
+        return None
+    if isinstance(setting, Mesh):
+        return setting
+    if setting == "auto":
+        return auto_fill_mesh(bands)
+    raise ValueError(f"unknown mesh setting {setting!r}")
+
+
 def split_band_spatial(n_devices: int) -> tuple[int, int]:
     """The default (b, x) split: largest band divisor <= min(4, sqrt(n)).
 

@@ -470,3 +470,151 @@ class TestShardedDetectStages:
         assert out["n_matched"] > 0
         assert out["final"].any()
         assert out["cloud"].any()
+
+    def test_row_stages_pad_internally(self):
+        """Row counts that do NOT divide the shard count (the real tile is
+        10980 = 8k+4 rows, the test scene 1284) must pad internally and
+        produce results bit-equal to the single-device stages (VERDICT r4
+        item 2: the old ValueError guards made the sharded stages refuse
+        every real scene)."""
+        import jax
+
+        from satellite_approximation_tpu.models.detection import refinement_jax
+        from satellite_approximation_tpu.models.detection.refinement import (
+            composite_surface,
+            element_from_histogram,
+        )
+        from satellite_approximation_tpu.config import RefinementConfig
+        from satellite_approximation_tpu.parallel.detect import (
+            sharded_alpha_map,
+            sharded_histograms,
+            sharded_improved_shadow_mask,
+            sharded_probability_map,
+        )
+        from satellite_approximation_tpu.parallel.mesh import spatial_band_mesh
+
+        mesh = spatial_band_mesh(8)
+        rng = np.random.default_rng(17)
+        h, w = 237, 190  # 237 % 8 = 5: forces the padding path
+        diff = rng.standard_normal((h, w)).astype(np.float32) * 0.01
+
+        want_alpha = np.asarray(refinement_jax.alpha_map_jax(diff, 17.0, 0.007))
+        got_alpha = np.asarray(sharded_alpha_map(diff, mesh, 17.0, 0.007))
+        np.testing.assert_array_equal(want_alpha, got_alpha)
+
+        alpha = rng.random((h, w)).astype(np.float32)
+        beta = rng.random((h, w)).astype(np.float32)
+        shadow = rng.random((h, w)) > 0.7
+        cfg = RefinementConfig()
+        divisions = tuple(cfg.histogram_divisions)
+        want_h = refinement_jax._histograms_jax(
+            alpha, beta, shadow.astype(np.float32), divisions
+        )
+        got_h = sharded_histograms(
+            alpha, beta, shadow.astype(np.float32), divisions, mesh
+        )
+        for (wc, ws), (gc, gs) in zip(want_h, got_h):
+            np.testing.assert_array_equal(np.asarray(wc), np.asarray(gc))
+            np.testing.assert_array_equal(np.asarray(ws), np.asarray(gs))
+
+        surface = composite_surface(
+            [
+                element_from_histogram(np.asarray(c), np.asarray(s))
+                for c, s in want_h
+            ],
+            cfg,
+        )
+        cloud = rng.random((h, w)) > 0.8
+        want_final = refinement_jax.improved_shadow_mask_jax(
+            shadow, cloud, alpha, beta, surface, 0.15
+        )
+        got_final = sharded_improved_shadow_mask(
+            shadow, cloud, alpha, beta, surface, 0.15, mesh
+        )
+        np.testing.assert_array_equal(np.asarray(want_final), np.asarray(got_final))
+
+        # probability surface end-to-end through the sharded histograms
+        want_surface = refinement_jax.probability_map_jax(shadow, alpha, beta, cfg)
+        got_surface = sharded_probability_map(shadow, alpha, beta, mesh, cfg)
+        np.testing.assert_array_equal(
+            want_surface._extended(), got_surface._extended()
+        )
+
+
+class TestPublicApiMeshRouting:
+    """SolverConfig.mesh="auto": the public fill APIs route through
+    parallel/fill.sharded_fill on every visible device (VERDICT r4 item 3;
+    reference surface src/main.cpp:46-58 is single-device). On the
+    8-device CPU mesh the solve must actually shard and match the
+    single-device route."""
+
+    def _problem(self):
+        rng = np.random.default_rng(31)
+        h = w = 320
+        img = (rng.random((2, h, w)) * 100).astype(np.float64)
+        invalid = np.zeros((h, w), bool)
+        invalid[10:290, 12:260] = True  # ~69k unknowns >= mg threshold
+        return img, invalid
+
+    def test_laplace_public_api_shards(self):
+        from satellite_approximation_tpu.config import SolverConfig
+        from satellite_approximation_tpu.models.laplace import solve_matrix
+
+        img, invalid = self._problem()
+        out_auto, res = solve_matrix(img, invalid, SolverConfig())
+        # the solve ran sharded: the result payload is a device array laid
+        # out over all 8 devices
+        assert isinstance(res.x, jax.Array)
+        assert len(res.x.sharding.device_set) == 8
+        assert res.error <= 1e-8
+        out_single, _ = solve_matrix(img, invalid, SolverConfig(mesh=None))
+        np.testing.assert_allclose(out_auto, out_single, atol=1e-4)
+        # known pixels untouched
+        np.testing.assert_array_equal(out_auto[:, 0, :], img[:, 0, :])
+
+    def test_poisson_public_api_shards(self, monkeypatch):
+        from satellite_approximation_tpu.config import SolverConfig
+        from satellite_approximation_tpu.models import poisson
+        from satellite_approximation_tpu.parallel import fill as pfill
+
+        img, invalid = self._problem()
+        rng = np.random.default_rng(32)
+        repl = (rng.random(img.shape) * 100).astype(np.float64)
+
+        calls = {}
+        real = pfill.sharded_fill
+
+        def spy(*a, **k):
+            out = real(*a, **k)
+            calls["sharding"] = out[0].sharding
+            calls["rel"] = out[2]
+            return out
+
+        monkeypatch.setattr(pfill, "sharded_fill", spy)
+        # both routes certify their own RESIDUALS; the value comparison is
+        # a routing guard, not an exactness claim — two distinct solutions
+        # at the same residual may differ ~kappa*tol in value
+        out_auto = poisson.blend_images_poisson(img, repl, invalid, tolerance=1e-9)
+        assert calls, "public API did not route through sharded_fill"
+        assert len(calls["sharding"].device_set) == 8
+        assert calls["rel"] <= 1e-7
+        out_single = poisson.blend_images_poisson(
+            img, repl, invalid, tolerance=1e-9, config=SolverConfig(mesh=None)
+        )
+        np.testing.assert_allclose(out_auto, out_single, atol=1e-3)
+
+    def test_small_solves_stay_single_device(self, monkeypatch):
+        """Below mg_threshold_pixels the sharded route must NOT engage."""
+        from satellite_approximation_tpu.models.laplace import solve_matrix
+        from satellite_approximation_tpu.parallel import fill as pfill
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("sharded_fill called for a small solve")
+
+        monkeypatch.setattr(pfill, "sharded_fill", boom)
+        rng = np.random.default_rng(33)
+        img = (rng.random((64, 64)) * 10).astype(np.float64)
+        invalid = np.zeros((64, 64), bool)
+        invalid[20:40, 20:40] = True
+        out, _ = solve_matrix(img, invalid)
+        assert np.isfinite(out).all()
