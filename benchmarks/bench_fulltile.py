@@ -25,6 +25,10 @@ def main():
     from satellite_approximation_tpu.models.fill import laplace_fill
 
     bands = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    # --resident: pre-upload ALL bands (f32) so the solve loop runs with
+    # zero transfer waits — the clean chip-side figure (a 13-band f32 tile
+    # is 6.3 GB; with ~3 GB solver state it fits a 16 GB chip)
+    resident = "--resident" in sys.argv
     H = W = 10980
     rng = np.random.default_rng(0)
     yy, xx = np.ogrid[:H, :W]
@@ -44,7 +48,12 @@ def main():
     # tunnel H2D is ~10-45 MB/s; a real TPU VM's PCIe makes it negligible).
     t0 = time.perf_counter()
     if bands == 1:
-        img = jnp.asarray(img)
+        img = jnp.asarray(img)  # u16 upload (half the bytes), f32 cast on device
+        _ = float(img[:, ::997, ::997].sum())
+    elif resident:
+        # u16 across the link, one on-device f32 cast; the u16 copy is
+        # dropped so only the f32 stack (6.3 GB at 13 bands) stays resident
+        img = jnp.asarray(img).astype(jnp.float32)
         _ = float(img[:, ::997, ::997].sum())
     m_j = jnp.asarray(m)
     _ = float(m_j[::997, ::997].sum())
@@ -57,11 +66,12 @@ def main():
 
     # multi-band workloads stream each filled band to a consumer — one
     # chip's HBM can't hold a 13-band f32 output plus solver state. The
-    # sink here reduces to per-band checksums (device sync included).
+    # sink reduces to per-band checksums; the sums stay device scalars so
+    # the sink never blocks the dispatch pipeline (floated at the end).
     sums = []
 
     def sink(s, e, chunk):
-        sums.append(float(chunk.sum()))
+        sums.append(chunk.sum())
 
     stats = {}
     t0 = time.perf_counter()
@@ -71,6 +81,7 @@ def main():
     )
     if res.x is not None:
         _ = float(res.x.sum())  # device sync (block_until_ready unreliable on axon)
+    sums = [float(v) for v in sums]
     dt = time.perf_counter() - t0
     assert bands == 1 or (len(sums) == bands and all(np.isfinite(sums)))
     print(

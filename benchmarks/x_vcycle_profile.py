@@ -161,6 +161,26 @@ def main():
         marginal(lambda k: (lambda: sync(vcycle_chain(u0, hier, k=k)))),
     )
 
+    # 5b. full V-cycle with the padded-resident kernel path (what _pcg_core
+    # actually runs: padded mask/deg built once outside the loop)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def vcycle_padded_chain(r, hier, k):
+        levels = tuple((m_, d_.astype(jnp.float32)) for m_, d_ in hier.levels)
+        pmd = multigrid._padded_md_for_levels(levels)
+
+        def body(_, r):
+            z = multigrid._v_cycle(
+                levels, r, jnp.zeros_like(r), 0, hier.coarse_inv, pmd,
+                u_is_zero=True,
+            )
+            return r + 1e-30 * z
+        return lax.fori_loop(0, k, body, r)
+
+    report(
+        "full V-cycle (padded-resident, zero-start)",
+        marginal(lambda k: (lambda: sync(vcycle_padded_chain(u0, hier, k=k)))),
+    )
+
     # 6. CG vector algebra only (3 dots + 3 axpys)
     @functools.partial(jax.jit, static_argnames=("k",))
     def algebra_chain(x, r, p, k):

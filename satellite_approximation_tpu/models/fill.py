@@ -409,6 +409,13 @@ def laplace_fill(
         if host_input and replacement is not None
         else None
     )
+    # Per-chunk result scalars stay ON DEVICE until the loop ends: a
+    # blocking device_get per chunk costs a link round trip (~25 ms on
+    # tunneled hosts) and — worse — stalls the dispatch pipeline, so chunk
+    # k+1's solve could not overlap chunk k's epilogue. One batched fetch
+    # at the end pays a single RTT for all chunks.
+    pending_norms: list = []
+    t_loop0 = _time.perf_counter()
     for s in range(0, c, bands_per_chunk):
         e = min(s + bands_per_chunk, c)
         if host_input:
@@ -432,7 +439,6 @@ def laplace_fill(
         else:
             chunk = img32[s:e]
             rchunk = rep32[s:e] if replacement is not None else None
-        t_solve0 = _time.perf_counter()
         # one fused program: compensated-f32 refinement + inner (P)CG, single
         # dispatch, norms are the only values that cross back to the host
         x_hi, x_lo, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
@@ -448,11 +454,7 @@ def laplace_fill(
             use_multigrid=use_multigrid,
             mode=mode,
         )
-        # ONE batched fetch: separate np.asarray calls each pay a link RTT
-        iters_v, rnorm, bnorm = jax.device_get((iters_j, rnorm_j, bnorm_j))
-        total_iters += int(iters_v)
-        err = max(err, float(_np.max(rnorm / _np.maximum(bnorm, 1e-300))))
-        solve_s += _time.perf_counter() - t_solve0
+        pending_norms.append((iters_j, rnorm_j, bnorm_j))
         if masked_values_output:
             # compact D2H: n f64 values per band instead of the full raster
             masked_vals.append(_np.asarray(_gather_masked(x_hi, x_lo, iy, ix)))
@@ -469,6 +471,11 @@ def laplace_fill(
             # a ragged tail chunk gets its own jit specialization
             filled = _write_bands(filled, out_chunk, s)
             del out_chunk
+    # ONE batched fetch for every chunk's norms (single link RTT)
+    for iters_v, rnorm, bnorm in jax.device_get(pending_norms):
+        total_iters += int(iters_v)
+        err = max(err, float(_np.max(rnorm / _np.maximum(bnorm, 1e-300))))
+    solve_s = _time.perf_counter() - t_loop0 - transfer_s
     if stats is not None:
         stats["solve_s"] = solve_s
         stats["transfer_wait_s"] = transfer_s

@@ -395,13 +395,23 @@ def _padded_md_for_levels(levels_j):
 
 
 def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
-             u_is_zero: bool = False):
+             u_is_zero: bool = False, emit_top_residual: bool = False):
     """One V-cycle. ``u_is_zero`` asserts the incoming iterate is zeros
     (always true when the cycle runs as a preconditioner and for every
     recursive level) — results are bit-identical, but pre-smoothing skips
-    the u read and its first A-apply (see _smooth)."""
+    the u read and its first A-apply (see _smooth).
+
+    ``emit_top_residual``: return ``(u, (b - A u) * m)`` instead of ``u``,
+    with the residual computed inside the top level's post-smooth kernel
+    window (Pallas path) — the PCG loop turns it into A·u for free and
+    drops its standalone A-apply pass (see fused_jacobi_corr_tpu_padded)."""
     um, deg = levels_j[lvl]
     if lvl == len(levels_j) - 1:
+        if emit_top_residual:
+            # single-level hierarchies only: the coarse solve IS the top
+            u2 = _v_cycle(levels_j, b, u, lvl, coarse_inv, padded_md,
+                          u_is_zero=u_is_zero)
+            return u2, (b - masked_laplacian(u2, um, deg)) * um.astype(u2.dtype)
         if coarse_inv is not None:
             # exact coarse solve: one MXU matvec against the precomputed
             # dense inverse (see _dense_coarse_inverse) — replaces ~100 CG
@@ -487,10 +497,14 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
         # masked add happen in VMEM (was: a full-raster prolong + mask
         # multiply + add pass, the largest non-smoother level-0 term)
         corr_half = corr_half_for_kernel(e_c, h, w, dtype=up.dtype)
-        up = fused_jacobi_corr_tpu_padded(
-            up, bp, invmp, corr_half, h, w, sweeps=len(post), omega=post
+        out = fused_jacobi_corr_tpu_padded(
+            up, bp, invmp, corr_half, h, w, sweeps=len(post), omega=post,
+            emit_residual=emit_top_residual,
         )
-        return slice_from_kernel(up, h, w)
+        if emit_top_residual:
+            up, rp = out
+            return slice_from_kernel(up, h, w), slice_from_kernel(rp, h, w)
+        return slice_from_kernel(out, h, w)
     u, r = _smooth_residual(u, b, um, deg, pre, u_is_zero=u_is_zero)
     um_c, _ = levels_j[lvl + 1]
     r_c = _restrict(r) * um_c.astype(r.dtype)
@@ -498,6 +512,8 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
                    u_is_zero=True)
     u = u + _prolong(e_c, u.shape) * um.astype(u.dtype)
     # reversed weights = the transpose smoother (see _smoother_omegas)
+    if emit_top_residual:
+        return _smooth_residual(u, b, um, deg, post)
     u = _smooth(u, b, um, deg, post)
     return u
 
@@ -529,8 +545,36 @@ def _pcg_core(
     # solve — the while_loop body below reuses them every iteration
     padded_md = _padded_md_for_levels(levels_16)
 
+    # A·z-from-the-kernel recurrence: only when the V-cycle runs in f32 —
+    # a bf16 preconditioner (grids <= 4096) would hand back a bf16-grade
+    # az, and the residual recurrence r -= alpha*ap would inherit ~1e-2
+    # relative error; those grids keep the exact standalone A-apply.
+    use_az = precond_dtype == jnp.float32
+
     def precond(r):
-        z16 = _v_cycle(
+        """(z, az): the V-cycle preconditioner output AND its A-image,
+        az = A z on unknowns, recovered from the top post-smooth kernel's
+        in-window residual (az = r - (r - A z)*m; r is masked upstream).
+        The PCG body then forms A p by the recurrence
+        ap = az + beta * ap_prev — dropping its standalone A-apply pass
+        (8.6 ms of a 42.7 ms full-tile iteration, an XLA lane-shift
+        stencil at ~22% of the HBM roofline). The recurrence drift is the
+        classic recursive-residual one: harmless here because (a) the
+        inner solve only runs to INNER_TOL_FLOOR-grade tolerances over a
+        handful of iterations, and (b) the outer double-float refinement
+        re-measures the TRUE residual each pass."""
+        if not use_az:
+            z16 = _v_cycle(
+                levels_16,
+                r.astype(precond_dtype),
+                jnp.zeros(r.shape, precond_dtype),
+                0,
+                coarse_inv,
+                padded_md,
+                u_is_zero=True,
+            )
+            return z16.astype(r.dtype), None
+        z16, res16 = _v_cycle(
             levels_16,
             r.astype(precond_dtype),
             jnp.zeros(r.shape, precond_dtype),
@@ -538,8 +582,11 @@ def _pcg_core(
             coarse_inv,
             padded_md,
             u_is_zero=True,
+            emit_top_residual=True,
         )
-        return z16.astype(r.dtype)
+        z = z16.astype(r.dtype)
+        az = r - res16.astype(r.dtype)
+        return z, az
 
     def dots(a, b):
         return jnp.sum(a * b, axis=(-2, -1))
@@ -549,35 +596,42 @@ def _pcg_core(
         b = b * umf
         x = x0 * umf
         r = (b - masked_laplacian(x, um0, deg0)) * umf
-        z = precond(r)
+        z, az = precond(r)
         p = z
+        ap = az if use_az else masked_laplacian(p, um0, deg0)
         rz = dots(r, z)
         bs = dots(b, b)
         threshold = jnp.maximum(tol * tol * bs, jnp.finfo(b.dtype).tiny)
 
         def cond(state):
-            _, r, _, _, _, it = state
+            _, r, _, _, _, _, it = state
             rr = dots(r, r)
             return jnp.logical_and(jnp.any(rr > threshold), it < max_iterations)
 
         def body(state):
-            x, r, p, z, rz, it = state
-            ap = masked_laplacian(p, um0, deg0)
+            x, r, p, ap, z, rz, it = state
             pap = dots(p, ap)
             alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
             a = alpha[..., None, None]
             x = x + a * p
             r_new = r - a * ap
-            z_new = precond(r_new)
+            z_new, az_new = precond(r_new)
             # flexible (Polak–Ribière) beta: robust to the slightly
             # nonlinear preconditioner (coarse-level CG)
             rz_new = dots(r_new, z_new)
             beta_num = rz_new - dots(r, z_new)
             beta = jnp.where(rz > 0, beta_num / jnp.where(rz > 0, rz, 1.0), 0.0)
-            p = z_new + beta[..., None, None] * p
-            return x, r_new, p, z_new, rz_new, it + 1
+            bcast = beta[..., None, None]
+            p = z_new + bcast * p
+            if use_az:
+                ap = az_new + bcast * ap  # A p by linearity: A(z + beta p)
+            else:
+                ap = masked_laplacian(p, um0, deg0)
+            return x, r_new, p, ap, z_new, rz_new, it + 1
 
-        x, r, p, z, rz, it = lax.while_loop(cond, body, (x, r, p, z, rz, jnp.int32(0)))
+        x, r, p, ap, z, rz, it = lax.while_loop(
+            cond, body, (x, r, p, ap, z, rz, jnp.int32(0))
+        )
         return x, it, dots(r, r) / jnp.maximum(bs, jnp.finfo(b.dtype).tiny)
 
     return run(b, x0, tol)

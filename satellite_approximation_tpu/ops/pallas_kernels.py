@@ -44,9 +44,11 @@ HALO_C = 128  # column halo = one lane tile: every DMA start stays aligned
 _STRIP_MAX = 240  # interior rows per strip, multiple of 8
 _CTILE_MAX = 4096  # interior columns per tile, multiple of 128
 # v5e cores carry 128 MB of VMEM; the toolchain's 16 MB scoped default was
-# what forced the old 112x2048 windows. 64 MB comfortably fits the
-# largest 256x4352 windows (~36 MB peak) while leaving headroom for Mosaic.
-_VMEM_LIMIT = 64 * 1024 * 1024
+# what forced the old 112x2048 windows. 96 MB fits the largest variant —
+# the corr post-smooth WITH the residual ring (3 double-buffered 256x4352
+# windows + the half-height corr operand + 2 interior out tiles, ~66 MB)
+# — while leaving headroom for Mosaic's own stack.
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -548,9 +550,12 @@ def corr_half_for_kernel(e_c, h: int, w: int, dtype=None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "sweeps", "omega"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "sweeps", "omega", "emit_residual")
+)
 def fused_jacobi_corr_tpu_padded(
-    up, bp, invmp, corr_half, h: int, w: int, sweeps: int = 8, omega=0.8
+    up, bp, invmp, corr_half, h: int, w: int, sweeps: int = 8, omega=0.8,
+    emit_residual: bool = False,
 ):
     """Post-smooth with the coarse-correction add fused in
     (:func:`corr_half_for_kernel` builds ``corr_half``): bit-equal to
@@ -558,8 +563,15 @@ def fused_jacobi_corr_tpu_padded(
     sign of zero on KNOWN cells (the fused path selects, the XLA path adds
     prolong(e)*0 — known-cell values never reach interior smoothing, which
     reads neighbours through unknown-selects). Same padded-IO contract as
-    fused_jacobi_tpu_padded."""
-    assert sweeps <= HALO_R
+    fused_jacobi_tpu_padded.
+
+    ``emit_residual`` (requires sweeps + 1 <= HALO_R): also return
+    r = (b - A u) * m from the same VMEM window — this is how the PCG loop
+    gets A·z for free after the top-level post-smooth (az = b - res), which
+    replaces the standalone masked_laplacian A-apply on p (measured 8.6 ms
+    of a 42.7 ms full-tile iteration at ~22% of HBM speed-of-light — the
+    XLA lane-shift stencil relayouts; the in-window ring costs ~1 ms)."""
+    assert sweeps + (1 if emit_residual else 0) <= HALO_R
     if isinstance(omega, tuple):
         assert len(omega) == sweeps
     strip, ctile = kernel_tiles(h, w)
@@ -578,10 +590,12 @@ def fused_jacobi_corr_tpu_padded(
         pltpu.VMEM((2, winr, winc), dtype),
         pltpu.VMEM((2, winr // 2, winc), dtype),
         pltpu.VMEM((2, strip, ctile), dtype),
-        pltpu.SemaphoreType.DMA((2, 6)),
     ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((2, strip, ctile), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6)))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel_factory(
             sweeps,
             omega if isinstance(omega, tuple) else float(omega),
@@ -590,19 +604,20 @@ def fused_jacobi_corr_tpu_padded(
             hp // strip,
             wp // ctile,
             c,
-            emit_residual=False,
+            emit_residual=emit_residual,
             out_off_r=HALO_R,
             out_off_c=HALO_C,
             fuse_corr=True,
         ),
-        out_shape=out_shape,
+        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
         in_specs=[any_spec] * 4,
-        out_specs=any_spec,
+        out_specs=(any_spec, any_spec) if emit_residual else any_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(up, bp.astype(dtype), invmp.astype(dtype), corr_half.astype(dtype))
+    return out
 
 
 def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
