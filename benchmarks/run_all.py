@@ -38,7 +38,26 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 REF_SCENE = Path("/root/reference/test_data/2019-05-22")
-RESULTS = REPO / "benchmarks" / "results_r03.json"
+# round number for the artifact: ROUND env var if set, else the largest
+# BENCH_r{N}.json at the repo root + 1 (the round in flight) — every round
+# mechanically yields its own results_r{NN}.json (VERDICT r4 item 7)
+import os as _os
+import re as _re
+
+
+def _current_round() -> int:
+    if _os.environ.get("ROUND"):
+        return int(_os.environ["ROUND"])
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        if (m := _re.match(r"BENCH_r(\d+)\.json", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+ROUND = _current_round()
+RESULTS = REPO / "benchmarks" / f"results_r{ROUND:02d}.json"
 
 
 def _assemble_rhs(known_chw, umask):
@@ -364,7 +383,7 @@ def main():
         print(json.dumps(CONFIGS[args.config]()))
         return
     if args.config and args.update:
-        doc = json.loads(args.out.read_text()) if args.out.exists() else {"round": 3, "rows": []}
+        doc = json.loads(args.out.read_text()) if args.out.exists() else {"round": ROUND, "rows": []}
         if args.config in (4, 6, 7):
             row = CONFIGS[args.config]()
         else:
@@ -397,7 +416,7 @@ def main():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rows.append(json.loads(line))
         print(f"#   {line}", file=sys.stderr, flush=True)
-    args.out.write_text(json.dumps({"round": 3, "rows": rows}, indent=2) + "\n")
+    args.out.write_text(json.dumps({"round": ROUND, "rows": rows}, indent=2) + "\n")
     print(f"# wrote {args.out}", file=sys.stderr)
 
 

@@ -356,12 +356,20 @@ def laplace_fill(
                 replacement = np.asarray(replacement, np.float32)
             rep32 = replacement[None] if squeeze else replacement
     else:
-        img32 = jnp.asarray(image, jnp.float32)
+        # device inputs: integer rasters stay in their integer dtype (a
+        # resident 13-band u16 stack is 3.1 GB vs 6.3 GB f32 — the margin
+        # that lets 2-band chunks fit next to the solver state); the
+        # per-chunk f32 cast happens inside the fused solve
+        img32 = jnp.asarray(image)
+        if img32.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.int32):
+            img32 = img32.astype(jnp.float32)
         squeeze = img32.ndim == 2
         if squeeze:
             img32 = img32[None]
         if replacement is not None:
-            rep32 = jnp.asarray(replacement, jnp.float32)
+            rep32 = jnp.asarray(replacement)
+            if rep32.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.int32):
+                rep32 = rep32.astype(jnp.float32)
             if squeeze:
                 rep32 = rep32[None]
     mode = "laplace" if replacement is None else "poisson"
@@ -373,6 +381,17 @@ def laplace_fill(
     c, h, w = img32.shape
     limit = max_chunk_elements or multigrid_chunk_limit()
     bands_per_chunk = max(int(limit // (h * w)), 1)
+    # Multi-band chunks amortize the per-chunk FIXED cost (the refinement
+    # passes' setup V-cycles, the TwoSum residual cascades, bnorm — ~40% of
+    # a full-tile band solve) over the chunk's bands: all bands share the
+    # mask, so the joint PCG converges in essentially the band-max
+    # iteration count (measured equal at 2048^2: 13 bands, 6 iterations).
+    # The f32 device path can afford 2 full-tile bands per chunk
+    # (~12 GB live solver state on a 16 GB chip); the f64 host-assembly
+    # path keeps the smaller cg.MAX_CHUNK_ELEMENTS budget.
+    if max_chunk_elements is None and bands_per_chunk == 1 and c > 1:
+        if 2 * h * w <= FILL_CHUNK_ELEMENTS:
+            bands_per_chunk = 2
 
     import numpy as _np
 
@@ -487,6 +506,11 @@ def laplace_fill(
     if not device_output and filled is not None:
         filled = _np.asarray(filled)
     return CGResult(filled, total_iters, err)
+
+
+# ceiling for the f32 device-assembly path's chunk size (elements): two
+# 10980^2 bands (241.1M) fit; three would not leave room for solver state
+FILL_CHUNK_ELEMENTS = 245_000_000
 
 
 def multigrid_chunk_limit() -> int:

@@ -50,8 +50,13 @@ from jax import lax
 from .cg import CGResult, neighbor_degree, masked_laplacian
 
 _OMEGA = 0.8
-_PRE_SMOOTH = 6
-_POST_SMOOTH = 6
+# K=7 re-A/B'd at full tile under the round-5 az-fused cost model
+# (benchmarks/x_sweeps_r5): K=6 451.8 ms/band at 7 PCG iterations,
+# K=7 427.5 ms at 6 — the stronger cycle buys an iteration. K=7 is also
+# the ring-budget ceiling: post sweeps + the emitted-residual ring must
+# fit HALO_R = 8.
+_PRE_SMOOTH = 7
+_POST_SMOOTH = 7
 _COARSE_ITERS = 64
 _MIN_SIZE = 24
 # Smoother polynomial: "chebyshev" gives each sweep its own weight from the
