@@ -112,10 +112,46 @@ def config1():
     marker[invalid, 0] = 255
 
     apply_laplace(base, marker)  # warmup/compile
-    t0 = time.perf_counter()
-    out = apply_laplace(base, marker)
-    dt = time.perf_counter() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = apply_laplace(base, marker)
+        runs.append(time.perf_counter() - t0)
+    dt = sorted(runs)[1]
     assert np.isfinite(out).all()
+
+    # Decompose the product-path latency (VERDICT r3/r4 small-scene item):
+    # on a tunneled-TPU host a small solve is LINK-bound, not chip-bound.
+    # link_floor_s = measured cost of moving this config's bytes + the
+    # per-call round trips with NO solve attached; chip_solve_s = the same
+    # fused solve timed with device-resident inputs (one dispatch + one
+    # scalar fetch). latency_s ~= link_floor_s + chip_solve_s documents
+    # where the remaining host wall time lives.
+    import jax
+    import jax.numpy as jnp
+    from satellite_approximation_tpu.models.fill import laplace_fill
+
+    img32 = np.moveaxis(base, -1, 0).astype(np.float32)
+    t0 = time.perf_counter()
+    img_j = jnp.asarray(img32)
+    m_j = jnp.asarray(invalid)
+    float(img_j[..., ::499, ::499].sum()) + float(m_j[::499, ::499].sum())
+    link_floor = time.perf_counter() - t0
+    # n masked f64 values come home on the product path
+    ys, xs = np.nonzero(invalid)
+    vals = jnp.asarray(img32[:, ys, xs].astype(np.float64))
+    t0 = time.perf_counter()
+    _ = np.asarray(vals)
+    link_floor += time.perf_counter() - t0
+
+    laplace_fill(img_j, m_j, tolerance=1e-9, refinement_steps=4)  # compile
+    chip_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = laplace_fill(img_j, m_j, tolerance=1e-9, refinement_steps=4)
+        float(r.x.sum())
+        chip_runs.append(time.perf_counter() - t0)
+    chip_dt = sorted(chip_runs)[1]
 
     # baseline at 1e-9 rel residual — solve_matrix's parity target (the
     # reference's Eigen CG default is machine-eps, laplace.cpp:113)
@@ -129,8 +165,11 @@ def config1():
         "shape": [h, w, 3],
         "masked_pixels": int(invalid.sum()) * 3,
         "latency_s": round(dt, 3),
+        "link_floor_s": round(link_floor, 3),
+        "chip_solve_s": round(chip_dt, 3),
         "baseline_scipy_cg_s": round(scipy_dt, 3),
         "vs_baseline": round(scipy_dt / dt, 2),
+        "vs_baseline_chip": round(scipy_dt / chip_dt, 2),
     }
 
 

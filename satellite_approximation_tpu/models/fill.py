@@ -67,12 +67,15 @@ def _residual_from_image(img32, x64, umask, deg):
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(1,))
 def _composite(img32: jnp.ndarray, x_hi: jnp.ndarray, x_lo: jnp.ndarray, umask: jnp.ndarray):
     """Known pixels from the input, solved values over the mask — always in
     f32 (integer-dtype inputs upload as-is to halve H2D; casting the solve
     result to an integer dtype would truncate the solution). x_hi + x_lo is
-    the correctly-rounded f32 solution (|x_lo| <= eps|x_hi|)."""
+    the correctly-rounded f32 solution (|x_lo| <= eps|x_hi|). ``x_hi`` is
+    DONATED — the output reuses its buffer, which is what lets a 2-band
+    full-tile chunk's composite fit next to the solver state (callers drop
+    x_hi immediately after)."""
     umf = umask.astype(jnp.float32)
     return img32.astype(jnp.float32) * (1.0 - umf) + (x_hi + x_lo) * umf
 
@@ -138,7 +141,7 @@ def _norm64(x32):
     jax.jit,
     static_argnames=(
         "max_iterations", "refinement_steps", "precond_dtype",
-        "use_multigrid", "mode",
+        "use_multigrid", "mode", "emit",
     ),
 )
 def _fused_refine_solve(
@@ -153,6 +156,7 @@ def _fused_refine_solve(
     precond_dtype,
     use_multigrid,
     mode="laplace",
+    emit="pair",
 ):
     """The WHOLE solve — compensated-f32 residual refinement around an inner
     f32 (P)CG — as one compiled program: zero host round trips until the
@@ -241,18 +245,45 @@ def _fused_refine_solve(
         return r, _norm64(r)
 
     def bnorm_():
+        """||b|| in plain f32 arithmetic (f64-accumulated reduction): bnorm
+        only scales the stopping target, so its ~1e-7 relative rounding
+        moves the certified tolerance by the same 1e-7 — irrelevant at
+        1e-6 — while the cascade variant measured 19 ms vs 11 ms per
+        full-tile band (benchmarks/x_resid_marginal)."""
         if mode == "rhs":
-            s, c = _two_sum(b_hi, b_lo)
-            return _norm64(s + c)
-        bt = list(_shift_taps(known))
+            return _norm64(b_hi)
+        b = shift_sum(known)
         if mode == "poisson":
-            bt += [-t for t in _shift_taps(g)] + [4.0 * g, -(k * g)]
-        s, c = _cascade(bt)
-        return _norm64((s + c) * umf)
+            b = b + (4.0 - k) * g - shift_sum(g)
+        return _norm64(b * umf)
 
     bnorm = bnorm_()
     target = jnp.maximum(tolerance * bnorm, jnp.finfo(jnp.float64).tiny)
-    tol_floor = _mg.INNER_TOL_FLOOR if use_multigrid else 5e-8
+    if use_multigrid:
+        # single-pass floor for the f32 preconditioner; the bf16
+        # preconditioner keeps the conservative floor (see multigrid)
+        tol_floor = (
+            _mg.INNER_TOL_FLOOR_F32
+            if precond_dtype == jnp.float32
+            else _mg.INNER_TOL_FLOOR
+        )
+    else:
+        tol_floor = 5e-8
+
+    # hoist the preconditioner's dtype-cast levels + padded mask/deg
+    # operands out of the refinement loop (each pass re-entering _pcg_core
+    # would otherwise rebuild them)
+    if use_multigrid:
+        if isinstance(levels_j, _mg.Hierarchy):
+            mg_levels, mg_coarse_inv = levels_j.levels, levels_j.coarse_inv
+        else:
+            mg_levels, mg_coarse_inv = levels_j, None
+        levels_16 = tuple(
+            (m_, d_.astype(precond_dtype)) for m_, d_ in mg_levels
+        )
+        prebuilt = (levels_16, _mg._padded_md_for_levels(levels_16))
+    else:
+        mg_levels = mg_coarse_inv = prebuilt = None
 
     r_hi, rnorm = residual(x_hi, x_lo)
 
@@ -267,8 +298,9 @@ def _fused_refine_solve(
         z32 = jnp.zeros(r_hi.shape, jnp.float32)
         if use_multigrid:
             d, it, _ = _mg._pcg_core(
-                r_hi, z32, inner_tol, levels_j,
+                r_hi, z32, inner_tol, mg_levels,
                 max_iterations=max_iterations, precond_dtype=precond_dtype,
+                coarse_inv=mg_coarse_inv, prebuilt=prebuilt,
             )
         else:
             d, it, _ = _cg_core(r_hi, z32, umask, deg, inner_tol, max_iterations)
@@ -280,6 +312,14 @@ def _fused_refine_solve(
     _, x_hi, x_lo, r_hi, rnorm, iters = lax.while_loop(
         cond, body, (jnp.int32(0), x_hi, x_lo, r_hi, rnorm, jnp.int32(0))
     )
+    if emit == "composite":
+        # the composited image comes out of the SAME program: one dispatch
+        # per chunk instead of two (each jit call costs host serialization
+        # + an RPC enqueue on tunneled runtimes), and the x_hi/x_lo pair
+        # never materializes as a program output
+        assert mode != "rhs", "rhs mode has no image to composite"
+        filled = img32.astype(jnp.float32) * (1.0 - umf) + (x_hi + x_lo) * umf
+        return filled, iters, rnorm, bnorm
     return x_hi, x_lo, iters, rnorm, bnorm
 
 
@@ -380,18 +420,13 @@ def laplace_fill(
 
     c, h, w = img32.shape
     limit = max_chunk_elements or multigrid_chunk_limit()
+    # NOTE (round-5 negative result, benchmarks/x_fulltile13): multi-band
+    # full-tile chunks do NOT pay. Every per-chunk "fixed" cost (residual
+    # cascades, bnorm, the refinement passes' setup V-cycles, composite) is
+    # bandwidth-bound and scales with the chunk's bands, iteration counts
+    # are per-band-max rather than shared, and a 2-band 10980^2 chunk's
+    # solver state exhausts a 16 GB chip's HBM.
     bands_per_chunk = max(int(limit // (h * w)), 1)
-    # Multi-band chunks amortize the per-chunk FIXED cost (the refinement
-    # passes' setup V-cycles, the TwoSum residual cascades, bnorm — ~40% of
-    # a full-tile band solve) over the chunk's bands: all bands share the
-    # mask, so the joint PCG converges in essentially the band-max
-    # iteration count (measured equal at 2048^2: 13 bands, 6 iterations).
-    # The f32 device path can afford 2 full-tile bands per chunk
-    # (~12 GB live solver state on a 16 GB chip); the f64 host-assembly
-    # path keeps the smaller cg.MAX_CHUNK_ELEMENTS budget.
-    if max_chunk_elements is None and bands_per_chunk == 1 and c > 1:
-        if 2 * h * w <= FILL_CHUNK_ELEMENTS:
-            bands_per_chunk = 2
 
     import numpy as _np
 
@@ -434,6 +469,21 @@ def laplace_fill(
     # k+1's solve could not overlap chunk k's epilogue. One batched fetch
     # at the end pays a single RTT for all chunks.
     pending_norms: list = []
+    # scalar operands hoisted out of the loop: each jnp scalar creation is
+    # its own tiny H2D transfer (a full link round trip on tunneled hosts)
+    tol_j = jnp.float64(tolerance)
+    pdtype = multigrid._precond_dtype_for((h, w))
+    # Fusing the composite into the solve program (emit="composite") saves a
+    # dispatch per chunk, but at full-tile scale the fused program
+    # MISCOMPILES on the current TPU toolchain: the refinement while_loop is
+    # eliminated (iterations == 0, rnorm == 0 exactly) when the loop's
+    # x_hi/x_lo results feed only the in-program composite instead of being
+    # program outputs. Verified good at 600^2/2048^2/5490^2 and broken at
+    # 10980^2 with otherwise identical operands (round 5; same toolchain
+    # family as the round-3 reduce_window pins in bench.py). Above the
+    # verified ceiling the chunk solve emits the pair and composites in a
+    # second dispatch — sub-ms next to a multi-second full-tile band solve.
+    fuse_composite = (not masked_values_output) and (h * w <= _COMPOSITE_FUSE_LIMIT)
     t_loop0 = _time.perf_counter()
     for s in range(0, c, bands_per_chunk):
         e = min(s + bands_per_chunk, c)
@@ -458,29 +508,38 @@ def laplace_fill(
         else:
             chunk = img32[s:e]
             rchunk = rep32[s:e] if replacement is not None else None
-        # one fused program: compensated-f32 refinement + inner (P)CG, single
-        # dispatch, norms are the only values that cross back to the host
-        x_hi, x_lo, iters_j, rnorm_j, bnorm_j = _fused_refine_solve(
+        # one fused program: compensated-f32 refinement + inner (P)CG +
+        # (for image outputs) the composite, in a single dispatch; norms
+        # are the only values that cross back to the host
+        solve_out = _fused_refine_solve(
             chunk,
             chunk if rchunk is None else rchunk,
             umask_j,
             deg_j,
             () if levels_j is None else levels_j,
-            jnp.float64(tolerance),
+            tol_j,
             max_iterations=max_iterations,
             refinement_steps=max(refinement_steps, 1),
-            precond_dtype=multigrid._precond_dtype_for((h, w)),
+            precond_dtype=pdtype,
             use_multigrid=use_multigrid,
             mode=mode,
+            emit="composite" if fuse_composite else "pair",
         )
-        pending_norms.append((iters_j, rnorm_j, bnorm_j))
         if masked_values_output:
+            x_hi, x_lo, iters_j, rnorm_j, bnorm_j = solve_out
+            pending_norms.append((iters_j, rnorm_j, bnorm_j))
             # compact D2H: n f64 values per band instead of the full raster
             masked_vals.append(_np.asarray(_gather_masked(x_hi, x_lo, iy, ix)))
             del chunk, x_hi, x_lo
             continue
-        out_chunk = _composite(chunk, x_hi, x_lo, umask_j)
-        del chunk, x_hi, x_lo
+        if fuse_composite:
+            out_chunk, iters_j, rnorm_j, bnorm_j = solve_out
+        else:
+            x_hi, x_lo, iters_j, rnorm_j, bnorm_j = solve_out
+            out_chunk = _composite(chunk, x_hi, x_lo, umask_j)
+            del x_hi, x_lo
+        pending_norms.append((iters_j, rnorm_j, bnorm_j))
+        del chunk
         if band_sink is not None:
             band_sink(s, e, out_chunk)
             del out_chunk
@@ -508,9 +567,10 @@ def laplace_fill(
     return CGResult(filled, total_iters, err)
 
 
-# ceiling for the f32 device-assembly path's chunk size (elements): two
-# 10980^2 bands (241.1M) fit; three would not leave room for solver state
-FILL_CHUNK_ELEMENTS = 245_000_000
+# Largest per-band grid (elements) allowed to fuse the composite into the
+# solve program — the largest size the fused program is VERIFIED correct at
+# (5490^2 = 30.1M; the 10980^2 fused program miscompiles — see laplace_fill)
+_COMPOSITE_FUSE_LIMIT = 31_000_000
 
 
 def multigrid_chunk_limit() -> int:

@@ -86,8 +86,15 @@ def _smoother_omegas(k: int) -> tuple[float, ...]:
     thetas = [mid + rad * math.cos(math.pi * (2 * j - 1) / (2 * k)) for j in range(1, k + 1)]
     return tuple(1.0 / t for t in thetas)
 # see the inner_tol comment in solve(): per-pass f32 CG stops here and the
-# f64 outer loop carries the rest
+# f64 outer loop carries the rest. With a bf16 preconditioner the floor
+# stays high (grinding f32 PCG against a low-precision preconditioner far
+# below ~1e-4 burns iterations near its noise floor); the f32
+# preconditioner reaches 1e-6-grade targets in ONE pass — measured at full
+# tile (benchmarks/x_fulltile13): floor 3e-7 = 5.27 s / 78 iters vs
+# floor 1e-4 = 5.52 s / 84 iters for the 13-band fill (the second
+# refinement pass's setup V-cycle + cascade disappear).
 INNER_TOL_FLOOR = 1e-4
+INNER_TOL_FLOOR_F32 = 3e-7
 # V-cycle working dtype (see _pcg_run). None = size-adaptive: bf16's halved
 # HBM traffic wins at moderate grids, but its contraction degrades with
 # grid size (A/B, benchmarks/ab_*: 2048^2x13 bf16 0.75s/13it vs f32 0.89s/
@@ -477,22 +484,32 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
         invmp = pmd
         h, w = um.shape[-2], um.shape[-1]
         bp = pad_for_kernel(b, h, w)
+        um_c, _ = levels_j[lvl + 1]
         if u_is_zero:
             # zero-start pre-smooth: the u operand (and its pad copy + DMA)
-            # disappears entirely — see fused_jacobi_zero_tpu
+            # disappears entirely — see fused_jacobi_zero_tpu.
+            # NEGATIVE RESULT (round 5): emit_residual="half" (the restrict
+            # row pass fused into the kernel via a sublane-split reshape)
+            # is bit-exact but ~2.3x SLOWER end to end at full tile
+            # (9.76 s vs 5.27 s for the 13-band fill at identical
+            # iteration counts — the in-kernel reshape relayouts dominate).
+            # The kernel mode + bitwise test are kept
+            # (tests/test_pallas.py::TestHalfRestrict) as the record; the
+            # production path emits the full residual and restricts in XLA.
             up, rp = fused_jacobi_zero_tpu_padded(
                 bp, invmp, h, w, sweeps=len(pre), omega=pre,
                 emit_residual=True,
             )
+            r = slice_from_kernel(rp, h, w)
+            r_c = _restrict(r) * um_c.astype(r.dtype)
         else:
             up = pad_for_kernel(u, h, w)
             up, rp = fused_jacobi_tpu_padded(
                 up, bp, invmp, h, w, sweeps=len(pre), omega=pre,
                 emit_residual=True,
             )
-        r = slice_from_kernel(rp, h, w)
-        um_c, _ = levels_j[lvl + 1]
-        r_c = _restrict(r) * um_c.astype(r.dtype)
+            r = slice_from_kernel(rp, h, w)
+            r_c = _restrict(r) * um_c.astype(r.dtype)
         e_c = _v_cycle(
             levels_j, r_c, jnp.zeros_like(r_c), lvl + 1, coarse_inv, padded_md,
             u_is_zero=True,
@@ -525,7 +542,7 @@ def _v_cycle(levels_j, b, u, lvl, coarse_inv=None, padded_md=None,
 
 def _pcg_core(
     b, x0, tol, levels_j, max_iterations, precond_dtype=jnp.float32,
-    coarse_inv=None,
+    coarse_inv=None, prebuilt=None,
 ):
     """Traceable MG-PCG body — callable from inside other jitted programs
     (the fused refinement solve in models/fill.py); :data:`_pcg_run` is the
@@ -545,10 +562,17 @@ def _pcg_core(
     # (benchmarks/ab_precond.py) shows bf16 rounding wrecks the cycle's
     # contraction: 89 vs 23 PCG iterations at 2048^2, 29 vs 17 at 10980^2,
     # and bf16 loses on wall clock at both sizes. Default is f32.
-    levels_16 = tuple((m_, d_.astype(precond_dtype)) for m_, d_ in levels_j)
-    # mask/deg pads for the padded-resident Pallas levels, built once per
-    # solve — the while_loop body below reuses them every iteration
-    padded_md = _padded_md_for_levels(levels_16)
+    if prebuilt is not None:
+        # caller hoisted the dtype-cast levels + padded mask/deg operands
+        # OUTSIDE its own loop (the refinement while_loop runs _pcg_core
+        # once per pass — rebuilding the pads per pass cost ~2.5 ms/band
+        # of pure copy traffic at full tile)
+        levels_16, padded_md = prebuilt
+    else:
+        levels_16 = tuple((m_, d_.astype(precond_dtype)) for m_, d_ in levels_j)
+        # mask/deg pads for the padded-resident Pallas levels, built once
+        # per solve — the while_loop body below reuses them every iteration
+        padded_md = _padded_md_for_levels(levels_16)
 
     # A·z-from-the-kernel recurrence: only when the V-cycle runs in f32 —
     # a bf16 preconditioner (grids <= 4096) would hand back a bf16-grade
@@ -621,10 +645,17 @@ def _pcg_core(
             x = x + a * p
             r_new = r - a * ap
             z_new, az_new = precond(r_new)
-            # flexible (Polak–Ribière) beta: robust to the slightly
-            # nonlinear preconditioner (coarse-level CG)
             rz_new = dots(r_new, z_new)
-            beta_num = rz_new - dots(r, z_new)
+            if coarse_inv is not None:
+                # the V-cycle with the EXACT dense coarse solve is a fixed
+                # LINEAR operator (weighted-Jacobi sweeps, block transfers,
+                # one dense matvec), so classic Fletcher–Reeves beta is
+                # valid — one full-raster dot fewer per iteration
+                beta_num = rz_new
+            else:
+                # flexible (Polak–Ribière) beta: robust to the nonlinear
+                # coarse-level CG fallback (oversized coarse grids)
+                beta_num = rz_new - dots(r, z_new)
             beta = jnp.where(rz > 0, beta_num / jnp.where(rz > 0, rz, 1.0), 0.0)
             bcast = beta[..., None, None]
             p = z_new + bcast * p

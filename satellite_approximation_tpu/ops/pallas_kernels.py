@@ -118,6 +118,13 @@ def _kernel_factory(
     assert len(omegas) == sweeps
     per_chan = n_strips * n_ctiles
     n_tiles = channels * per_chan
+    # emit_residual="half": the residual comes out with its ROW PAIRS
+    # already summed (res[2i] + res[2i+1]) — the expensive half of the
+    # V-cycle's 2x2 block restrict — into a HALF-HEIGHT, rim-free output.
+    # The residual write and its downstream read shrink 2x each, and the
+    # XLA row pass (a sublane reduce_window over the full raster)
+    # disappears; XLA keeps only the cheap lane-strided column pairing.
+    half_restrict = emit_residual == "half"
 
     # zero_start: the smoother starts from u == 0 (ALWAYS the case for a
     # V-cycle pre-smoother — every level's incoming iterate is zeros). The
@@ -223,6 +230,17 @@ def _kernel_factory(
 
         def res_copy(t, sel):
             ci, r0, c0 = coords(t)
+            if half_restrict:
+                # rim-free half-height layout: row tile k lands at
+                # k * (strip/2) (computed from the tile index, not r0/2 —
+                # Mosaic's divisibility analysis needs the product form)
+                rem = t % jnp.int32(per_chan)
+                rh0 = (rem // jnp.int32(n_ctiles)) * jnp.int32(strip // 2)
+                return pltpu.make_async_copy(
+                    sr.at[sel],
+                    res_hbm.at[ci, pl.ds(rh0, strip // 2), pl.ds(c0, ctile)],
+                    sems.at[sel, jnp.int32(4)],
+                )
             return pltpu.make_async_copy(
                 sr.at[sel],
                 res_hbm.at[
@@ -319,9 +337,17 @@ def _kernel_factory(
                 # sweeps + 1 <= HALO_R (asserted by the caller)
                 au = deg * u - neighbor_sum(u)
                 res = jnp.where(unknown, b - au, 0.0)
-                sr[sel] = res[
-                    HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile
-                ].astype(sr.dtype)
+                interior = res[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile]
+                if half_restrict:
+                    # restrict row pass in VMEM: res[2i] + res[2i+1] —
+                    # bit-identical operand order to the XLA reduce_window
+                    # pair sum (multigrid._restrict). Spelled as a
+                    # sublane-split reshape + plain indexing: strided
+                    # slices/gathers don't lower in-kernel
+                    r3 = interior.reshape(strip // 2, 2, ctile)
+                    sr[sel] = (r3[:, 0, :] + r3[:, 1, :]).astype(sr.dtype)
+                else:
+                    sr[sel] = interior.astype(sr.dtype)
                 res_copy(t, sel).start()
             return carry
 
@@ -621,7 +647,9 @@ def fused_jacobi_corr_tpu_padded(
 
 
 def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
-    """Shared pallas_call plumbing for the zero-start kernels."""
+    """Shared pallas_call plumbing for the zero-start kernels.
+    ``emit_residual``: False | True | "half" (row-paired half-height
+    restrict output, rim-free — see _kernel_factory)."""
     assert (sweeps - 1) + (1 if emit_residual else 0) <= HALO_R
     if isinstance(omega, tuple):
         assert len(omega) == sweeps
@@ -642,14 +670,20 @@ def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
         bp = pad_for_kernel(b, h, w)
         imp = pad_for_kernel(invm, h, w)
     dtype = b.dtype
+    half = emit_residual == "half"
     out_shape = jax.ShapeDtypeStruct((c, hpad, wpad), dtype)
+    res_shape = (
+        jax.ShapeDtypeStruct((c, hp // 2, wp), dtype) if half else out_shape
+    )
     scratch = [
         pltpu.VMEM((2, winr, winc), dtype),
         pltpu.VMEM((2, winr, winc), dtype),
         pltpu.VMEM((2, strip, ctile), dtype),
     ]
     if emit_residual:
-        scratch.append(pltpu.VMEM((2, strip, ctile), dtype))
+        scratch.append(
+            pltpu.VMEM((2, strip // 2 if half else strip, ctile), dtype)
+        )
     scratch.append(pltpu.SemaphoreType.DMA((2, 5)))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
@@ -666,7 +700,7 @@ def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
             out_off_c=HALO_C,
             zero_start=True,
         ),
-        out_shape=(out_shape, out_shape) if emit_residual else out_shape,
+        out_shape=(out_shape, res_shape) if emit_residual else out_shape,
         in_specs=[any_spec] * 2,
         out_specs=(any_spec, any_spec) if emit_residual else any_spec,
         scratch_shapes=scratch,
@@ -679,7 +713,7 @@ def _zero_call(b, invm, h, w, sweeps, omega, emit_residual, padded_io):
     if emit_residual:
         return (
             slice_from_kernel(out[0], h, w),
-            slice_from_kernel(out[1], h, w),
+            out[1] if half else slice_from_kernel(out[1], h, w),
         )
     return slice_from_kernel(out, h, w)
 

@@ -339,3 +339,66 @@ class TestBf16Degree:
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(want, np.float32)
         )
+
+
+class TestHalfRestrict:
+    def test_half_restrict_matches_row_pass_bitwise(self):
+        """emit_residual="half": the zero-start kernel's in-VMEM restrict
+        row pass (res[2i] + res[2i+1]) must equal the XLA pair sum of the
+        full emitted residual BIT-FOR-BIT (same operand order)."""
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import multigrid as M
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            fused_jacobi_zero_tpu,
+        )
+
+        rng = np.random.default_rng(9)
+        c, h, w = 2, 600, 760  # even rows; ragged vs the 16/128 tile steps
+        b = jnp.asarray(rng.random((c, h, w)), jnp.float32)
+        um = jnp.asarray(rng.random((h, w)) > 0.4)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        om = M._smoother_omegas(5)
+
+        _, rp = fused_jacobi_zero_tpu(
+            b, um, dg, sweeps=5, omega=om, emit_residual=True
+        )
+        _, rhalf = fused_jacobi_zero_tpu(
+            b, um, dg, sweeps=5, omega=om, emit_residual="half"
+        )
+        want = np.asarray(rp)[:, 0::2, :] + np.asarray(rp)[:, 1::2, :]
+        got = np.asarray(rhalf)[:, : h // 2, :w]
+        np.testing.assert_array_equal(got, want)
+
+    def test_vcycle_with_half_restrict_matches_xla_route(self):
+        """The padded V-cycle route (zero-start + in-kernel half restrict +
+        fused corr post-smooth) must still agree with the plain XLA
+        V-cycle to f32 roundoff on the coarse-correction path."""
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import multigrid as M
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(10)
+        h, w = 700, 640
+        um_np = rng.random((h, w)) > 0.35
+        um_np[0, :] = um_np[-1, :] = um_np[:, 0] = um_np[:, -1] = False
+        hier = M._device_hierarchy(um_np, neighbor_degree((h, w)))
+        r = jnp.asarray(rng.random((1, h, w)), jnp.float32) * jnp.asarray(
+            um_np
+        ).astype(jnp.float32)
+
+        levels = tuple(
+            (m_, d_.astype(jnp.float32)) for m_, d_ in hier.levels
+        )
+        pmd = M._padded_md_for_levels(levels)
+        got = M._v_cycle(
+            levels, r, jnp.zeros_like(r), 0, hier.coarse_inv, pmd,
+            u_is_zero=True,
+        )
+        want = M._v_cycle(
+            levels, r, jnp.zeros_like(r), 0, hier.coarse_inv, None,
+            u_is_zero=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )

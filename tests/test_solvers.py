@@ -454,6 +454,39 @@ class TestLaplaceFill:
         r = laplace_fill(img[0], m, tolerance=1e-7, device_output=False)
         assert r.x.shape == m.shape
 
+    def test_composite_fuse_gated_above_verified_ceiling(self):
+        """Above _COMPOSITE_FUSE_LIMIT the chunk solve must emit the
+        (x_hi, x_lo) pair and composite in a SECOND dispatch: the fused
+        emit="composite" program miscompiles at 10980^2 on the TPU
+        toolchain (refinement loop eliminated; iters 0 / rnorm 0 exactly).
+        Routing is asserted by spying on the emit argument; below the
+        ceiling the fused emit is used, and results must match between the
+        two routes."""
+        from satellite_approximation_tpu.models import fill as F
+
+        img, m = self._problem()
+        seen = []
+        orig = F._fused_refine_solve
+
+        def spy(*args, **kw):
+            seen.append(kw.get("emit"))
+            return orig(*args, **kw)
+
+        old_limit = F._COMPOSITE_FUSE_LIMIT
+        try:
+            F._fused_refine_solve = spy
+            small = F.laplace_fill(img, m, tolerance=1e-8, device_output=False)
+            assert seen and all(e == "composite" for e in seen)
+            seen.clear()
+            F._COMPOSITE_FUSE_LIMIT = img[0].size - 1  # force the big-grid route
+            big = F.laplace_fill(img, m, tolerance=1e-8, device_output=False)
+            assert seen and all(e == "pair" for e in seen)
+        finally:
+            F._fused_refine_solve = orig
+            F._COMPOSITE_FUSE_LIMIT = old_limit
+        np.testing.assert_allclose(big.x, small.x, atol=1e-6)
+        assert big.error < 1e-8 and big.iterations > 0
+
     def test_u16_upload_matches_f32(self):
         """Integer rasters upload in their own dtype (half the H2D bytes)
         and cast on device — results identical to the f32 upload."""
