@@ -257,8 +257,6 @@ def _fused_refine_solve(
             b = b + (4.0 - k) * g - shift_sum(g)
         return _norm64(b * umf)
 
-    bnorm = bnorm_()
-    target = jnp.maximum(tolerance * bnorm, jnp.finfo(jnp.float64).tiny)
     if use_multigrid:
         # single-pass floor for the f32 preconditioner; the bf16
         # preconditioner keeps the conservative floor (see multigrid)
@@ -285,7 +283,40 @@ def _fused_refine_solve(
     else:
         mg_levels = mg_coarse_inv = prebuilt = None
 
-    r_hi, rnorm = residual(x_hi, x_lo)
+    # Pallas residual cascade (laplace mode, large grids): the XLA cascade
+    # materializes every shifted tap as a padded full-raster copy and runs
+    # at ~45 GB/s — ~40-50 ms per full-tile band, twice per solve. The
+    # kernel computes the same TwoSum chain (same operand order, bit-equal
+    # to the sign of zero) inside streamed VMEM windows, and the entry
+    # variant emits the Dirichlet RHS b from the same windows (the ||b||
+    # pass folds in). Level-0's prebuilt padded invm operand is reused.
+    from ..ops import pallas_kernels as _pk
+
+    h_, w_ = umask.shape[-2], umask.shape[-1]
+    pmd0 = prebuilt[1][0] if prebuilt is not None else None
+    use_resker = mode == "laplace" and pmd0 is not None
+    if use_resker:
+        imgp = _pk.pad_for_kernel(img32.astype(jnp.float32), h_, w_)
+
+        def residual_k(x_hi, x_lo):
+            r_full = _pk.residual_pair_tpu_padded(
+                imgp,
+                _pk.pad_for_kernel(x_hi, h_, w_),
+                _pk.pad_for_kernel(x_lo, h_, w_),
+                pmd0, h_, w_,
+            )
+            # rim-free output with exact-zero pads: the norm over the full
+            # array equals the norm over [:h, :w] bit-for-bit
+            return r_full[..., :h_, :w_], _norm64(r_full)
+
+        r_full, b_full = _pk.residual_entry_tpu_padded(imgp, pmd0, h_, w_)
+        bnorm = _norm64(b_full)
+        r_hi, rnorm = r_full[..., :h_, :w_], _norm64(r_full)
+        residual = residual_k
+    else:
+        bnorm = bnorm_()
+        r_hi, rnorm = residual(x_hi, x_lo)
+    target = jnp.maximum(tolerance * bnorm, jnp.finfo(jnp.float64).tiny)
 
     def cond(state):
         step, _, _, _, rnorm, _ = state

@@ -751,6 +751,282 @@ def fused_jacobi_zero_tpu_padded(
     return _zero_call(bp, invmp, h, w, sweeps, omega, emit_residual, True)
 
 
+def _residual_factory(
+    strip: int,
+    ctile: int,
+    n_strips: int,
+    n_ctiles: int,
+    channels: int,
+    with_xlo: bool,
+    emit_b: bool,
+):
+    """Round-5 kernel: the double-float refinement RESIDUAL CASCADE in one
+    VMEM pass (models/fill._fused_refine_solve.residual, laplace mode).
+
+    The XLA route materializes each shifted tap of y = known + x_hi as its
+    own padded full-raster copy, so the exact TwoSum cascade runs at
+    ~45 GB/s effective — ~40-50 ms per full-tile band, twice per solve
+    (entry + convergence certificate), ~25% of the whole band solve
+    (benchmarks/x_fixed_probe). Here the taps are pltpu.roll's inside one
+    streamed window and the cascade arithmetic runs on VMEM-resident data.
+
+    Bit-parity contract (tests/test_pallas.py::TestResidualCascade): the
+    TwoSum chain folds terms in EXACTLY the XLA operand order —
+    (up, down, left, right, -4*x_hi, k*x_hi), then the f32 lo-sum
+    ((((lu+ld)+ll)+lr) - 4*x_lo) + k*x_lo — so interior results match the
+    XLA cascade to the sign of zero (select-vs-multiply masking, same
+    rationale as the smoother kernels).
+
+    * ``with_xlo=False``: the ENTRY residual. At entry x_hi = img*mask and
+      x_lo = 0 identically (fill.py builds them that way for the laplace
+      warm start), so y = img bit-exactly (disjoint supports) and the
+      x_hi/x_lo operands disappear — 2 input windows, like the zero-start
+      smoother.
+    * ``emit_b`` (entry only): also emit b = shift_sum(known) * mask from
+      the same windows — the ||b|| pass (11 ms/band in XLA) becomes one
+      extra interior write.
+    * outputs are RIM-FREE (C, hp, wp): tile interiors only, no halo rims,
+      trailing tile pads are exact zeros (mask pads are 0 -> select 0), so
+      norms over the full output equal norms over [:h, :w] bit-for-bit
+      (adding exact f64 zeros is exact).
+    """
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    per_chan = n_strips * n_ctiles
+    n_tiles = channels * per_chan
+
+    def kernel(*refs):
+        one = jnp.int32(1)
+        if with_xlo:
+            img_hbm, xhi_hbm, xlo_hbm, im_hbm, *rest = refs
+        else:
+            img_hbm, im_hbm, *rest = refs
+            xhi_hbm = xlo_hbm = None
+        if emit_b:
+            r_hbm, b_hbm = rest[0], rest[1]
+            scratch = rest[2:]
+        else:
+            r_hbm, b_hbm = rest[0], None
+            scratch = rest[1:]
+        if with_xlo:
+            simg, sxh, sxl, sim, sr, sems = scratch
+            sb = None
+        elif emit_b:
+            simg, sim, sr, sb, sems = scratch
+            sxh = sxl = None
+        else:
+            simg, sim, sr, sems = scratch
+            sxh = sxl = sb = None
+
+        def coords(t):
+            ci = t // jnp.int32(per_chan)
+            rem = t % jnp.int32(per_chan)
+            r0 = (rem // jnp.int32(n_ctiles)) * jnp.int32(strip)
+            c0 = (rem % jnp.int32(n_ctiles)) * jnp.int32(ctile)
+            return ci, r0, c0
+
+        def in_copies(t, sel):
+            ci, r0, c0 = coords(t)
+            cps = [
+                pltpu.make_async_copy(
+                    img_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
+                    simg.at[sel],
+                    sems.at[sel, jnp.int32(0)],
+                ),
+                pltpu.make_async_copy(
+                    im_hbm.at[pl.ds(r0, winr), pl.ds(c0, winc)],
+                    sim.at[sel],
+                    sems.at[sel, jnp.int32(1)],
+                ),
+            ]
+            if with_xlo:
+                cps.append(
+                    pltpu.make_async_copy(
+                        xhi_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
+                        sxh.at[sel],
+                        sems.at[sel, jnp.int32(2)],
+                    )
+                )
+                cps.append(
+                    pltpu.make_async_copy(
+                        xlo_hbm.at[ci, pl.ds(r0, winr), pl.ds(c0, winc)],
+                        sxl.at[sel],
+                        sems.at[sel, jnp.int32(3)],
+                    )
+                )
+            return cps
+
+        def out_copies(t, sel):
+            ci, r0, c0 = coords(t)
+            cps = [
+                pltpu.make_async_copy(
+                    sr.at[sel],
+                    r_hbm.at[ci, pl.ds(r0, strip), pl.ds(c0, ctile)],
+                    sems.at[sel, jnp.int32(4)],
+                )
+            ]
+            if emit_b:
+                cps.append(
+                    pltpu.make_async_copy(
+                        sb.at[sel],
+                        b_hbm.at[ci, pl.ds(r0, strip), pl.ds(c0, ctile)],
+                        sems.at[sel, jnp.int32(5)],
+                    )
+                )
+            return cps
+
+        def taps(v):
+            # (up, down, left, right) in shift_sum/_shift_taps order; raw
+            # rolls, NOT masked — the XLA cascade taps y/x_lo unmasked, and
+            # wrap-around garbage lands in the discarded window rim only
+            return (
+                pltpu.roll(v, one, 0),
+                pltpu.roll(v, jnp.int32(winr - 1), 0),
+                pltpu.roll(v, one, 1),
+                pltpu.roll(v, jnp.int32(winc - 1), 1),
+            )
+
+        def two_sum(a, b):
+            s = a + b
+            bb = s - a
+            e = (a - (s - bb)) + (b - bb)
+            return s, e
+
+        for cp in in_copies(jnp.int32(0), jnp.int32(0)):
+            cp.start()
+
+        def body(t, carry):
+            sel = lax.rem(t, jnp.int32(2))
+            for cp in in_copies(t, sel):
+                cp.wait()
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                for cp in in_copies(t + 1, jnp.int32(1) - sel):
+                    cp.start()
+
+            @pl.when(t >= 2)
+            def _():
+                for cp in out_copies(t - 2, sel):
+                    cp.wait()
+
+            invm = sim[sel].astype(jnp.float32)
+            unknown = invm > 0
+            # exact degree reconstruction (see _kernel_factory: 1/(1/d)
+            # roundtrips bit-perfectly in f32; the round restores bf16
+            # operands' exact degree)
+            deg = jnp.where(
+                unknown, jnp.round(1.0 / jnp.where(unknown, invm, 1.0)), 1.0
+            )
+            kf = jnp.where(unknown, 4.0 - deg, 0.0)
+            img = simg[sel].astype(jnp.float32)
+            if with_xlo:
+                xh = sxh[sel].astype(jnp.float32)
+                # y = known + x_hi: disjoint supports make the sum a select
+                y = jnp.where(unknown, xh, img)
+            else:
+                y = img
+                xh = jnp.where(unknown, y, 0.0)
+
+            t1, t2, t3, t4 = taps(y)
+            s, c = two_sum(t1, t2)
+            for term in (t3, t4, -4.0 * xh, kf * xh):
+                s, e = two_sum(s, term)
+                c = c + e
+            if with_xlo:
+                xl = sxl[sel].astype(jnp.float32)
+                l1, l2, l3, l4 = taps(xl)
+                lo = l1 + l2 + l3 + l4 - 4.0 * xl + kf * xl
+                r = jnp.where(unknown, s + (c + lo), 0.0)
+            else:
+                r = jnp.where(unknown, s + c, 0.0)
+            sr[sel] = r[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile]
+            if emit_b:
+                known = jnp.where(unknown, 0.0, y)
+                k1, k2, k3, k4 = taps(known)
+                bv = jnp.where(unknown, ((k1 + k2) + k3) + k4, 0.0)
+                sb[sel] = bv[HALO_R : HALO_R + strip, HALO_C : HALO_C + ctile]
+            for cp in out_copies(t, sel):
+                cp.start()
+            return carry
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+        for dt in (2, 1):
+            if n_tiles >= dt:
+                t_last = n_tiles - dt
+                sel_last = jnp.int32(t_last % 2)
+                for cp in out_copies(jnp.int32(t_last), sel_last):
+                    cp.wait()
+
+    return kernel
+
+
+def _residual_call(imgp, xhip, xlop, invmp, h, w, emit_b):
+    """Shared pallas_call plumbing for the residual-cascade kernels. All
+    operands in pad_for_kernel layout; img/xhi/xlo f32, invm any dtype
+    (cast + exact-degree-rounded in-kernel). Outputs rim-free (C, hp, wp)
+    f32 with exact-zero tile pads."""
+    strip, ctile = kernel_tiles(h, w)
+    winr = strip + 2 * HALO_R
+    winc = ctile + 2 * HALO_C
+    c, hpad, wpad = imgp.shape
+    hp = hpad - 2 * HALO_R
+    wp = wpad - 2 * HALO_C
+    assert hp == -(-h // strip) * strip and wp == -(-w // ctile) * ctile, (
+        "padded operands do not match pad_for_kernel's layout for (h, w)",
+        (hpad, wpad), (h, w), (strip, ctile),
+    )
+    with_xlo = xhip is not None
+    assert not (with_xlo and emit_b), "b emission is an entry-only fold"
+    out_shape = jax.ShapeDtypeStruct((c, hp, wp), jnp.float32)
+    scratch = [pltpu.VMEM((2, winr, winc), jnp.float32)]  # img
+    if with_xlo:
+        scratch.append(pltpu.VMEM((2, winr, winc), jnp.float32))  # x_hi
+        scratch.append(pltpu.VMEM((2, winr, winc), jnp.float32))  # x_lo
+    scratch.append(pltpu.VMEM((2, winr, winc), invmp.dtype))  # invm
+    scratch.append(pltpu.VMEM((2, strip, ctile), jnp.float32))  # r out
+    if emit_b:
+        scratch.append(pltpu.VMEM((2, strip, ctile), jnp.float32))  # b out
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6)))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    n_in = 4 if with_xlo else 2
+    n_out = 2 if emit_b else 1
+    operands = (
+        (imgp, xhip, xlop, invmp) if with_xlo else (imgp, invmp)
+    )
+    return pl.pallas_call(
+        _residual_factory(
+            strip, ctile, hp // strip, wp // ctile, c,
+            with_xlo=with_xlo, emit_b=emit_b,
+        ),
+        out_shape=(out_shape,) * n_out if n_out > 1 else out_shape,
+        in_specs=[any_spec] * n_in,
+        out_specs=(any_spec,) * n_out if n_out > 1 else any_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def residual_entry_tpu_padded(imgp, invmp, h: int, w: int):
+    """(r, b) for the laplace ENTRY state (x_hi = img*mask, x_lo = 0):
+    r = (b - A x0) * mask via the exact TwoSum cascade, b = the Dirichlet
+    RHS — both rim-free (C, hp, wp) f32 with exact-zero pads. Bit-equal to
+    fill.py's XLA route (to the sign of zero); reference semantics
+    laplace.cpp:71-106 (RHS) + the Eigen residual it stops on."""
+    return _residual_call(imgp, None, None, invmp, h, w, emit_b=True)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def residual_pair_tpu_padded(imgp, xhip, xlop, invmp, h: int, w: int):
+    """r = (b - A(x_hi + x_lo)) * mask for the refinement loop's
+    double-float iterate — the exact cascade over the hi terms plus the
+    plain-f32 lo terms, rim-free (C, hp, wp) f32."""
+    return _residual_call(imgp, xhip, xlop, invmp, h, w, emit_b=False)
+
+
 def pallas_available() -> bool:
     """True when the default backend can lower Pallas TPU kernels."""
     return jax.default_backend() == "tpu"

@@ -341,6 +341,108 @@ class TestBf16Degree:
         )
 
 
+class TestResidualCascade:
+    """Round-5 residual-cascade kernel vs the XLA TwoSum route — must be
+    bit-equal (sign of zero aside, covered by ==) in the interior, with
+    exact-zero tile pads."""
+
+    def _problem(self, c=2, h=600, w=760, seed=11):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.cg import neighbor_degree
+
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray((rng.random((c, h, w)) * 10000), jnp.float32)
+        um_np = rng.random((h, w)) > 0.45
+        um = jnp.asarray(um_np)
+        dg = jnp.asarray(neighbor_degree((h, w)))
+        return img, um, dg
+
+    def _xla_residual(self, img, x_hi, x_lo, um, dg):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models import fill as F
+
+        umf = um.astype(jnp.float32)
+        k = (4.0 - dg.astype(jnp.float32)) * umf
+        known = img * (1.0 - umf)
+        y_hi = known + x_hi
+        hi_terms = list(F._shift_taps(y_hi)) + [-4.0 * x_hi, k * x_hi]
+        s, c = F._cascade(hi_terms)
+        l1, l2, l3, l4 = F._shift_taps(x_lo)
+        lo = l1 + l2 + l3 + l4 - 4.0 * x_lo + k * x_lo
+        return (s + (c + lo)) * umf
+
+    def test_entry_matches_xla_bitwise(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.models.cg import shift_sum
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            invm_for_kernel, pad_for_kernel, residual_entry_tpu_padded,
+        )
+
+        img, um, dg = self._problem()
+        c, h, w = img.shape
+        umf = um.astype(jnp.float32)
+        x_hi = img * umf
+        x_lo = jnp.zeros_like(x_hi)
+        want_r = np.asarray(self._xla_residual(img, x_hi, x_lo, um, dg))
+        want_b = np.asarray(shift_sum(img * (1.0 - umf)) * umf)
+
+        imgp = pad_for_kernel(img, h, w)
+        pmd = pad_for_kernel(invm_for_kernel(um, dg), h, w)
+        got_r, got_b = residual_entry_tpu_padded(imgp, pmd, h, w)
+        got_r, got_b = np.asarray(got_r), np.asarray(got_b)
+        np.testing.assert_array_equal(got_r[:, :h, :w], want_r)
+        np.testing.assert_array_equal(got_b[:, :h, :w], want_b)
+        # tile pads must be exact zeros (norms run over the full output)
+        assert (got_r[:, h:, :] == 0).all() and (got_r[:, :, w:] == 0).all()
+        assert (got_b[:, h:, :] == 0).all() and (got_b[:, :, w:] == 0).all()
+
+    def test_pair_matches_xla_bitwise(self):
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            invm_for_kernel, pad_for_kernel, residual_pair_tpu_padded,
+        )
+
+        img, um, dg = self._problem(seed=12)
+        c, h, w = img.shape
+        rng = np.random.default_rng(13)
+        umf = um.astype(jnp.float32)
+        x_hi = jnp.asarray(rng.random((c, h, w)) * 9000, jnp.float32) * umf
+        x_lo = jnp.asarray(
+            rng.standard_normal((c, h, w)) * 1e-4, jnp.float32
+        ) * umf
+        want = np.asarray(self._xla_residual(img, x_hi, x_lo, um, dg))
+
+        imgp = pad_for_kernel(img, h, w)
+        pmd = pad_for_kernel(invm_for_kernel(um, dg), h, w)
+        got = np.asarray(
+            residual_pair_tpu_padded(
+                imgp, pad_for_kernel(x_hi, h, w), pad_for_kernel(x_lo, h, w),
+                pmd, h, w,
+            )
+        )
+        np.testing.assert_array_equal(got[:, :h, :w], want)
+
+    def test_bf16_invm_operand_exact(self):
+        """A bf16 invm operand (the <=4096-grid preconditioner's padded
+        level) must reconstruct the exact degrees — results identical to
+        the f32 operand."""
+        import jax.numpy as jnp
+        from satellite_approximation_tpu.ops.pallas_kernels import (
+            invm_for_kernel, pad_for_kernel, residual_entry_tpu_padded,
+        )
+
+        img, um, dg = self._problem(c=1, h=304, w=520, seed=14)
+        h, w = um.shape
+        imgp = pad_for_kernel(img, h, w)
+        invm = invm_for_kernel(um, dg)
+        a = residual_entry_tpu_padded(imgp, pad_for_kernel(invm, h, w), h, w)
+        b = residual_entry_tpu_padded(
+            imgp, pad_for_kernel(invm.astype(jnp.bfloat16), h, w), h, w
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 class TestHalfRestrict:
     def test_half_restrict_matches_row_pass_bitwise(self):
         """emit_residual="half": the zero-start kernel's in-VMEM restrict
