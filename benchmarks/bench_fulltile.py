@@ -91,6 +91,7 @@ def main():
                 "value": round(dt, 2),
                 "unit": "s",
                 "bands": bands,
+                "resident": resident,
                 "ingest_s": round(ingest, 2),
                 "solve_s": round(stats.get("solve_s", dt), 2),
                 "transfer_wait_s": round(stats.get("transfer_wait_s", 0.0), 2),
